@@ -1,0 +1,368 @@
+"""Flag/config system with CLI parity to the reference's gflags setup.
+
+The reference defines ~60 gflags (reference ``model.py:1639-1741``), four
+preset model configurations dispatched by name (``model.py:1605-1636``), a
+JSON round-trip (flags are dumped to ``<name>.json`` at startup and can be
+reloaded with ``-log_load``, ``model.py:1744-1750``), and derived default
+paths for log/csv/json/checkpoint/confusion-matrix/binary-output files
+(``model.py:1762-1794``).
+
+This module reproduces the same flag names, defaults, and layered resolution
+order (``log_load`` JSON -> preset -> CLI overrides) without gflags:
+
+* ``make_flags()``      -> a fresh :class:`Flags` namespace with defaults.
+* ``parse_args(flags, argv)`` -> apply gflags-style CLI args in place.
+* ``finalize_flags(flags, argv)`` -> full resolution incl. presets and
+  derived paths (the equivalent of reference ``default_flags()``).
+
+Accepted CLI syntaxes (all used by the reference README / gflags):
+``-name value``, ``--name value``, ``-name=value``, bare booleans ``-name``
+and the negated form ``-noname``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence
+
+
+class FlagError(ValueError):
+    pass
+
+
+@dataclass
+class FlagDef:
+    name: str
+    type: str  # "string" | "boolean" | "integer" | "float" | "enum"
+    default: Any
+    choices: Optional[List[str]] = None
+    help: str = ""
+
+    def parse(self, raw: str) -> Any:
+        if self.type == "string":
+            return raw
+        if self.type == "enum":
+            if self.choices and raw not in self.choices:
+                raise FlagError(
+                    f"flag --{self.name}: value {raw!r} not in {self.choices}")
+            return raw
+        if self.type == "integer":
+            return int(raw)
+        if self.type == "float":
+            return float(raw)
+        if self.type == "boolean":
+            low = raw.lower()
+            if low in ("true", "t", "1", "yes"):
+                return True
+            if low in ("false", "f", "0", "no"):
+                return False
+            raise FlagError(f"flag --{self.name}: bad boolean {raw!r}")
+        raise FlagError(f"unknown flag type {self.type}")
+
+
+class Flags:
+    """Attribute namespace holding flag values (the ``FLAGS`` object)."""
+
+    def __init__(self, defs: Dict[str, FlagDef]):
+        object.__setattr__(self, "_defs", defs)
+        for d in defs.values():
+            object.__setattr__(self, d.name, d.default)
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if name not in self._defs:
+            raise FlagError(f"unknown flag: {name}")
+        object.__setattr__(self, name, value)
+
+    def flag_values_dict(self) -> Dict[str, Any]:
+        return {n: getattr(self, n) for n in self._defs}
+
+    # gflags-compatible alias used in reference model.py:1007
+    FlagValuesDict = flag_values_dict
+
+
+def _registry() -> Dict[str, FlagDef]:
+    defs: Dict[str, FlagDef] = {}
+
+    def define(name, type_, default, choices=None, help_=""):
+        defs[name] = FlagDef(name, type_, default, choices, help_)
+
+    # Debug settings (reference model.py:1641-1643)
+    define("branch", "string", None)
+    define("sha", "string", None)
+    define("debug", "boolean", False)
+
+    # Convenience settings (model.py:1646-1655)
+    define("save_after", "integer", 1000)
+    define("save_interval", "integer", 100)
+    define("checkpoint", "string", None)
+    define("conf_mat", "string", None)
+    define("log_path", "string", "./logs")
+    define("log_file", "string", None)
+    define("eval_csv_file", "string", None)
+    define("json_file", "string", None)
+    define("log_load", "string", None)
+    define("eval_only", "boolean", False)
+
+    # Extract settings (model.py:1658-1659)
+    define("binary_only", "boolean", False)
+    define("binary_output", "string", None)
+
+    # Performance settings. The reference's ``cuda`` flag (model.py:1662)
+    # selected GPU execution; here it is accepted for CLI compatibility but
+    # device placement is owned by JAX/XLA (TPU by default).
+    define("cuda", "boolean", False)
+
+    # Display settings (model.py:1665-1670)
+    define("env", "string", "main")
+    define("visdom", "boolean", False)
+    define("use_alpha", "boolean", False)
+    define("experiment_name", "string", None)
+    define("log_interval", "integer", 50)
+    define("log_dev", "integer", 1000)
+
+    # Data settings (model.py:1673-1683)
+    define("wv_type", "enum", "glove.6B", ["fake", "glove.6B", "none"])
+    define("wv_dim", "integer", 100)
+    define("descr_train", "string", "descriptions.csv")
+    define("descr_dev", "string", "descriptions.csv")
+    define("train_file", "string", "train.hdf5")
+    define("dev_file", "string", "dev.hdf5")
+    define("images", "enum", "mammal", ["cifar", "mammal"])
+    define("glove_path", "string", "./glove.6B/glove.6B.100d.txt")
+    define("shuffle_train", "boolean", True)
+    define("shuffle_dev", "boolean", False)
+
+    # Model settings (model.py:1686-1722)
+    define("model_type", "enum", None,
+           ["Fixed", "Adaptive", "FixedAttention", "AdaptiveAttention"])
+    define("img_feat", "enum", "avgpool_512", ["layer4_2", "avgpool_512", "fc"])
+    define("data_context", "enum", "fc", ["fc"])
+    define("sender_mix", "enum", "sum", ["sum", "prod", "mou"])
+    define("img_feat_dim", "integer", 4096)
+    define("img_h_dim", "integer", 100)
+    define("baseline_hid_dim", "integer", 500)
+    define("sender_out_dim", "integer", 50)
+    define("rec_hidden", "integer", 128)
+    define("rec_out_dim", "integer", 1)
+    define("rec_w_dim", "integer", 50)
+    define("rec_s_dim", "integer", 1)
+    define("use_binary", "boolean", True)
+    define("ignore_receiver", "boolean", False)
+    define("ignore_code", "boolean", False)
+    # Defined-but-unused in the reference (softmax detach at model.py:441 is
+    # unconditional); kept for flag-surface parity.
+    define("block_y", "boolean", True)
+    define("first_rec", "float", 0)
+    define("flipout_rec", "float", None)
+    define("flipout_sen", "float", None)
+    define("flipout_dev", "boolean", False)
+    define("s_prob_prod", "boolean", True)
+    define("visual_attn", "boolean", False)
+    define("attn_dim", "integer", 256)
+    define("attn_extra_context", "boolean", False)
+    define("attn_context_dim", "integer", 4096)
+    define("desc_attn", "boolean", False)
+    define("desc_attn_dim", "integer", 64)
+    define("top_k_dev", "integer", 6)
+    define("top_k_train", "integer", 6)
+
+    # Optimization settings (model.py:1725-1732)
+    define("optim_type", "enum", "RMSprop", ["Adam", "SGD", "RMSprop"])
+    define("batch_size", "integer", 32)
+    define("batch_size_dev", "integer", 50)
+    define("learning_rate", "float", 1e-4)
+    define("max_epoch", "integer", 500)
+    define("entropy_s", "float", None)
+    define("entropy_sen", "float", None)
+    define("entropy_rec", "float", None)
+
+    # Conversation settings (model.py:1735-1741)
+    define("exchange_samples", "integer", 3)
+    define("max_exchange", "integer", 3)
+    define("fixed_exchange", "boolean", True)
+    define("bit_flip", "boolean", False)
+    define("corrupt_region", "string", None)
+
+    return defs
+
+
+def make_flags() -> Flags:
+    return Flags(_registry())
+
+
+def parse_args(flags: Flags, argv: Sequence[str]) -> None:
+    """Apply gflags-style CLI overrides in place.
+
+    ``argv`` should exclude the program name (i.e. pass ``sys.argv[1:]``).
+    """
+    defs = flags._defs
+    i = 0
+    args = list(argv)
+    while i < len(args):
+        tok = args[i]
+        if not tok.startswith("-"):
+            raise FlagError(f"unexpected positional argument: {tok!r}")
+        name = tok.lstrip("-")
+        inline: Optional[str] = None
+        if "=" in name:
+            name, inline = name.split("=", 1)
+
+        negated = False
+        if name not in defs and name.startswith("no") and name[2:] in defs \
+                and defs[name[2:]].type == "boolean":
+            name = name[2:]
+            negated = True
+        if name not in defs:
+            raise FlagError(f"unknown flag: {tok}")
+        d = defs[name]
+
+        if inline is not None:
+            setattr(flags, name, d.parse(inline))
+            i += 1
+            continue
+        if d.type == "boolean":
+            # Bare boolean (``-use_binary``) or with an explicit value
+            # (``-use_binary true``). gflags accepts both.
+            if not negated and i + 1 < len(args) and \
+                    args[i + 1].lower() in ("true", "false", "t", "f", "1", "0"):
+                setattr(flags, name, d.parse(args[i + 1]))
+                i += 2
+            else:
+                setattr(flags, name, not negated)
+                i += 1
+            continue
+        if i + 1 >= len(args):
+            raise FlagError(f"flag {tok} expects a value")
+        setattr(flags, name, d.parse(args[i + 1]))
+        i += 2
+
+
+# ---------------------------------------------------------------------------
+# Preset model configurations (reference model.py:1595-1636).
+# Dispatched by name via a dict rather than the reference's ``eval()``.
+# ---------------------------------------------------------------------------
+
+def _fixed(f: Flags) -> None:
+    f.img_feat = "avgpool_512"
+    f.img_feat_dim = 512
+    f.fixed_exchange = True
+    f.visual_attn = False
+
+
+def _adaptive(f: Flags) -> None:
+    f.img_feat = "avgpool_512"
+    f.img_feat_dim = 512
+    f.fixed_exchange = False
+    f.visual_attn = False
+
+
+def _fixed_attention(f: Flags) -> None:
+    f.img_feat = "layer4_2"
+    f.img_feat_dim = 512
+    f.fixed_exchange = True
+    f.visual_attn = True
+    f.attn_dim = 256
+    f.attn_extra_context = True
+    f.attn_context_dim = 1000
+
+
+def _adaptive_attention(f: Flags) -> None:
+    f.img_feat = "layer4_2"
+    f.img_feat_dim = 512
+    f.fixed_exchange = False
+    f.visual_attn = True
+    f.attn_dim = 256
+    f.attn_extra_context = True
+    f.attn_context_dim = 1000
+
+
+PRESETS = {
+    "Fixed": _fixed,
+    "Adaptive": _adaptive,
+    "FixedAttention": _fixed_attention,
+    "AdaptiveAttention": _adaptive_attention,
+}
+
+
+def _git_output(cmd: List[str]) -> str:
+    try:
+        return subprocess.run(
+            cmd, capture_output=True, text=True, timeout=5).stdout.strip()
+    except Exception:
+        return ""
+
+
+def finalize_flags(flags: Flags, argv: Sequence[str] = ()) -> Flags:
+    """Layered resolution + derived defaults (reference ``default_flags()``,
+    model.py:1744-1810).
+
+    Order: ``log_load`` JSON -> re-apply CLI -> preset -> re-apply CLI ->
+    invariants -> derived names/paths -> git provenance.
+    """
+    if flags.log_load:
+        log_flags = json.loads(open(flags.log_load).read())
+        for k, v in log_flags.items():
+            if k in flags._defs:
+                object.__setattr__(flags, k, v)
+        parse_args(flags, argv)  # CLI overrides win over the JSON.
+
+    if flags.model_type:
+        PRESETS[flags.model_type](flags)
+        parse_args(flags, argv)  # CLI overrides win over the preset.
+
+    assert flags.sender_out_dim == flags.rec_w_dim, \
+        "Both sender and receiver should communicate with same dim vectors for now."
+
+    if not flags.use_binary:
+        flags.exchange_samples = 0
+
+    if not flags.experiment_name:
+        timestamp = str(int(time.time()))
+        flags.experiment_name = "{}-so_{}-wv_{}-bs_{}-{}".format(
+            flags.images, flags.sender_out_dim, flags.wv_dim,
+            flags.batch_size, timestamp)
+
+    join = os.path.join
+    if not flags.conf_mat:
+        flags.conf_mat = join(flags.log_path,
+                              flags.experiment_name + ".conf_mat.txt")
+    if not flags.log_file:
+        flags.log_file = join(flags.log_path, flags.experiment_name + ".log")
+    if not flags.eval_csv_file:
+        flags.eval_csv_file = join(flags.log_path,
+                                   flags.experiment_name + ".eval.csv")
+    if not flags.json_file:
+        flags.json_file = join(flags.log_path, flags.experiment_name + ".json")
+    if not flags.checkpoint:
+        flags.checkpoint = join(flags.log_path, flags.experiment_name + ".pt")
+    if not flags.binary_output:
+        flags.binary_output = join(flags.log_path,
+                                   flags.experiment_name + ".bv.hdf5")
+
+    if not flags.branch:
+        flags.branch = _git_output(["git", "rev-parse", "--abbrev-ref", "HEAD"])
+    if not flags.sha:
+        flags.sha = _git_output(["git", "rev-parse", "HEAD"])
+
+    if flags.debug:
+        import numpy as np
+        np.seterr(all="raise")
+
+    flags.glove_path = os.path.expanduser(flags.glove_path)
+    return flags
+
+
+def flags_from_argv(argv: Optional[Sequence[str]] = None) -> Flags:
+    """Build, parse, and finalize flags — the reference ``__main__`` path
+    (model.py:1813-1818)."""
+    if argv is None:
+        argv = sys.argv[1:]
+    flags = make_flags()
+    parse_args(flags, argv)
+    finalize_flags(flags, argv)
+    return flags

@@ -1,0 +1,209 @@
+"""Fused four-optimizer training step.
+
+The reference runs one forward ``exchange`` per batch and then four
+*separate* backward/clip/step updates — receiver, sender, and the two
+baselines (model.py:1307-1330). Because every tensor crossing between the
+agents is detached (sampled messages, detached rewards/baselines — see
+game/exchange.py), the gradient of the *summed* loss is block-diagonal
+across the four parameter trees, so one ``jax.value_and_grad`` over the sum
+yields exactly the per-loss gradients the reference computes. Each agent
+keeps its own optax chain with ``clip_by_global_norm(1.0)`` (the reference's
+per-model ``clip_grad_norm(max_norm=1.)``).
+
+Optimizer parity (model.py:1110-1137): SGD / Adam / RMSprop at a shared
+learning rate, with torch's hyperparameter conventions — RMSprop
+``alpha=0.99`` and ``eps`` added *outside* the sqrt.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodalgame_tpu.game.agents import AgentModules
+from multimodalgame_tpu.game.config import GameConfig
+from multimodalgame_tpu.game.exchange import ExchangeOutputs, exchange
+from multimodalgame_tpu.game.losses import (get_rec_outp, loglikelihood,
+                                            multistep_loss_bas,
+                                            multistep_loss_binary, nll_loss,
+                                            topk_accuracy)
+from multimodalgame_tpu.game.masks import assemble_loss_masks
+
+AGENT_NAMES = ("sender", "receiver", "baseline_sen", "baseline_rec")
+
+stop_grad = jax.lax.stop_gradient
+
+
+def build_optimizer(cfg: GameConfig) -> optax.GradientTransformation:
+    """Per-agent optimizer chain: clip-by-global-norm(1.0) then the
+    configured update rule (reference model.py:1110-1137, 1307-1330)."""
+    lr = cfg.learning_rate
+    if cfg.optim_type == "SGD":
+        tx = optax.sgd(lr)
+    elif cfg.optim_type == "Adam":
+        tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    elif cfg.optim_type == "RMSprop":
+        # torch.optim.RMSprop semantics: v <- 0.99 v + 0.01 g^2;
+        # update = g / (sqrt(v) + eps).
+        tx = optax.rmsprop(lr, decay=0.99, eps=1e-8, eps_in_sqrt=False)
+    else:
+        raise NotImplementedError(cfg.optim_type)
+    return optax.chain(optax.clip_by_global_norm(1.0), tx)
+
+
+def init_opt_states(cfg: GameConfig, params: Dict[str, Any]
+                    ) -> Dict[str, Any]:
+    tx = build_optimizer(cfg)
+    return {name: tx.init(params[name]) for name in AGENT_NAMES}
+
+
+class TrainMetrics(NamedTuple):
+    """Everything the driver's interval logging needs
+    (model.py:1341-1542)."""
+    loss_rec: jnp.ndarray
+    loss_sen: jnp.ndarray
+    nll_loss: jnp.ndarray
+    loss_binary_rec: jnp.ndarray
+    loss_binary_s: jnp.ndarray
+    loss_bas_rec: jnp.ndarray
+    loss_bas_sen: jnp.ndarray
+    ent_binary_sen: jnp.ndarray   # (T,)  per-step negentropies
+    ent_binary_rec: jnp.ndarray   # (T-1,) (empty when max_exchange == 1)
+    ent_y_rec: jnp.ndarray        # (T,)
+    accuracy: jnp.ndarray
+    dist: jnp.ndarray             # (B, D) log-softmax scores
+    argmax: jnp.ndarray           # (B,)
+    exchange: ExchangeOutputs
+
+
+def compute_losses(modules: AgentModules, params: Dict[str, Any],
+                   data: jnp.ndarray, target: jnp.ndarray,
+                   desc: jnp.ndarray, key: jax.Array,
+                   desc_set_padded: Optional[jnp.ndarray],
+                   desc_set_mask: Optional[jnp.ndarray],
+                   data_context: Optional[jnp.ndarray],
+                   top_k: int, batch_denom: int
+                   ) -> Tuple[jnp.ndarray, TrainMetrics]:
+    """One training forward pass: exchange + all loss terms
+    (the per-batch body of the reference run(), model.py:1229-1305)."""
+    cfg = modules.cfg
+    T = cfg.max_exchange
+
+    ex = exchange(modules, params, data, desc, key, train=True,
+                  desc_set_padded=desc_set_padded,
+                  desc_set_mask=desc_set_mask, data_context=data_context)
+
+    masks = None if cfg.fixed_exchange else assemble_loss_masks(ex.stop_masks)
+
+    outp, ent_y = get_rec_outp(ex.y, None if masks is None else masks.y)
+    dist = jax.nn.log_softmax(outp, axis=-1)
+    argmax = jnp.argmax(dist, axis=-1)
+
+    nll = nll_loss(dist, target)
+    logs = stop_grad(loglikelihood(dist, target))  # reward (model.py:1274)
+
+    zero = jnp.zeros(())
+    loss_binary_s = zero
+    loss_binary_rec = zero
+    loss_binary_sen = zero
+    loss_bas_rec = zero
+    loss_bas_sen = zero
+    ent_s = jnp.zeros((T,))
+    ent_rec = jnp.zeros((max(T - 1, 0),))
+    ent_sen = jnp.zeros((T,))
+
+    if cfg.use_binary:
+        if not cfg.fixed_exchange:
+            loss_binary_s, ent_s = multistep_loss_binary(
+                ex.stop_feats, ex.stop_probs, logs, ex.br,
+                masks.binary_s, cfg.entropy_s)
+        if T > 1:
+            # The receiver has no z-loss if we stop after the first sender
+            # message (model.py:1284-1289).
+            loss_binary_rec, ent_rec = multistep_loss_binary(
+                ex.rec_feats[:-1], ex.rec_probs[:-1], logs, ex.br[:-1],
+                None if masks is None else masks.binary_rec,
+                cfg.entropy_rec)
+        loss_binary_sen, ent_sen = multistep_loss_binary(
+            ex.sen_feats, ex.sen_probs, logs, ex.bs,
+            None if masks is None else masks.binary_sen, cfg.entropy_sen)
+        loss_bas_rec = multistep_loss_bas(
+            ex.br, logs, None if masks is None else masks.bas_rec)
+        loss_bas_sen = multistep_loss_bas(
+            ex.bs, logs, None if masks is None else masks.bas_sen)
+
+    loss_rec = nll
+    if cfg.use_binary:
+        loss_rec = loss_rec + loss_binary_rec
+        if not cfg.fixed_exchange:
+            loss_rec = loss_rec + loss_binary_s
+    loss_sen = loss_binary_sen
+
+    total = loss_rec + loss_sen + loss_bas_rec + loss_bas_sen
+
+    accuracy = topk_accuracy(dist, target, top_k, batch_denom)
+    metrics = TrainMetrics(
+        loss_rec=loss_rec, loss_sen=loss_sen, nll_loss=nll,
+        loss_binary_rec=loss_binary_rec, loss_binary_s=loss_binary_s,
+        loss_bas_rec=loss_bas_rec, loss_bas_sen=loss_bas_sen,
+        ent_binary_sen=ent_sen, ent_binary_rec=ent_rec, ent_y_rec=ent_y,
+        accuracy=accuracy, dist=dist, argmax=argmax, exchange=ex)
+    return total, metrics
+
+
+def make_train_step(modules: AgentModules, top_k: int, batch_denom: int):
+    """Build the jitted train step.
+
+    Returns ``step(params, opt_states, data, target, desc, key,
+    desc_set_padded=None, desc_set_mask=None, data_context=None)
+    -> (params, opt_states, TrainMetrics)``.
+
+    Parameter and optimizer-state buffers are donated, so updates happen
+    in place on device.
+    """
+    cfg = modules.cfg
+    tx = build_optimizer(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_states, data, target, desc, key,
+             desc_set_padded=None, desc_set_mask=None, data_context=None):
+        grads, metrics = jax.grad(
+            lambda p: compute_losses(
+                modules, p, data, target, desc, key, desc_set_padded,
+                desc_set_mask, data_context, top_k, batch_denom),
+            has_aux=True)(params)
+
+        new_params = dict(params)
+        new_opts = dict(opt_states)
+        # With a continuous channel only the receiver trains; the reference
+        # skips the other three optimizer steps entirely (model.py:1313-1330).
+        update_names = AGENT_NAMES if cfg.use_binary else ("receiver",)
+        for name in update_names:
+            updates, new_opts[name] = tx.update(
+                grads[name], opt_states[name], params[name])
+            new_params[name] = optax.apply_updates(params[name], updates)
+        return new_params, new_opts, metrics
+
+    return step
+
+
+def make_eval_exchange(modules: AgentModules):
+    """Build the jitted eval-mode exchange used by eval_dev, extraction,
+    and the train loop's sample dumps (rounded messages, cumulative stop
+    product — model.py:640, 1463-1465)."""
+
+    @functools.partial(jax.jit, static_argnames=("use_corrupt",))
+    def run(params, data, desc, key, desc_set_padded=None,
+            desc_set_mask=None, data_context=None, corrupt_mask=None,
+            use_corrupt=False):
+        return exchange(modules, params, data, desc, key, train=False,
+                        desc_set_padded=desc_set_padded,
+                        desc_set_mask=desc_set_mask,
+                        data_context=data_context,
+                        corrupt_mask=corrupt_mask if use_corrupt else None)
+
+    return run

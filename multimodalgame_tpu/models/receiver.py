@@ -1,0 +1,178 @@
+"""Receiver agent: GRU over incoming messages, class prediction, STOP bit,
+and a binary query back to the Sender.
+
+Parity target: reference ``Receiver`` (model.py:241-477):
+
+    h_z = GRUCell(z, h_z)                                 (model.py:340)
+    s   = W_s h_z                                         (model.py:414)
+    y_i = y2(relu(y1([h_z, desc_i])))  for every class i  (model.py:431-433)
+    wd  = sum_i softmax(y)_i.detach() * desc_i            (model.py:439-449)
+    w   = W tanh(W_h h_z + W_d wd)                        (model.py:452-454)
+
+TPU-first redesign of the prediction head: the reference materializes the
+cartesian product ``B*D x (hid+desc)`` and runs one big Linear over it
+(``build_inp``, model.py:519-551). Here ``y1`` is algebraically split into
+its ``h_z`` and description blocks — the description block is projected
+*once per conversation* in :meth:`precompute` and the per-step cost drops to
+one ``(B, hid)`` matmul plus a broadcast add, with no ``B*D`` concat ever
+hitting HBM.
+
+The optional word-level description attention (model.py:267-271, 344-410)
+replaces the reference's per-class Python slicing/softmax loop with one
+masked softmax over a dense ``(D, L_max)`` padded word tensor.
+
+Like the Sender, this module emits logits only; sampling (and the eval-mode
+cumulative stop product, model.py:416-427) lives in the exchange engine.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodalgame_tpu.models.gru import TorchGRUCell
+from multimodalgame_tpu.models.init import xavier_normal
+
+
+class Receiver(nn.Module):
+    z_dim: int
+    desc_dim: int
+    hid_dim: int
+    out_dim: int
+    w_dim: int
+    s_dim: int
+    use_binary: bool = True
+    desc_attn: bool = False
+    desc_attn_dim: int = 64
+
+    def setup(self):
+        dense = lambda feats, name, bias=True: nn.Dense(
+            feats, kernel_init=xavier_normal(),
+            bias_init=nn.initializers.zeros, use_bias=bias, name=name)
+        self.rnn = TorchGRUCell(self.z_dim, self.hid_dim, name="rnn")
+        # Communication head (model.py:258-260)
+        self.w_h = dense(self.hid_dim, "w_h")
+        self.w_d = dense(self.hid_dim, "w_d", bias=False)
+        self.w = dense(self.w_dim, "w")
+        # Prediction head. y1 is stored as the reference's single
+        # (hid+desc, hid) matrix so torch checkpoints map by transpose; it
+        # is consumed in split form (see precompute/step).
+        self.y1_kernel = self.param(
+            "y1_kernel", xavier_normal(), (self.hid_dim + self.desc_dim,
+                                           self.hid_dim))
+        self.y1_bias = self.param("y1_bias", nn.initializers.zeros,
+                                  (self.hid_dim,))
+        self.y2 = dense(self.out_dim, "y2")
+        # Decision (STOP) head (model.py:265)
+        self.s = dense(self.s_dim, "s")
+        if self.desc_attn:
+            self.d_d = dense(self.desc_attn_dim, "d_d")
+            self.d_h = dense(self.desc_attn_dim, "d_h")
+            self.d_attn = dense(1, "d_attn")
+
+    def __call__(self, z, h_z, desc, desc_set_padded=None,
+                 desc_set_mask=None):
+        """Single-turn convenience API (the reference ``forward``,
+        model.py:303) — precompute + step. Used for parameter init and
+        single-step tests; the exchange engine calls the pieces directly."""
+        cache = self.precompute(desc, desc_set_padded, desc_set_mask)
+        return self.step(z, h_z, cache)
+
+    def initial_state(self, batch_size: int) -> jnp.ndarray:
+        """Zero hidden state (model.py:300-301)."""
+        return jnp.zeros((batch_size, self.hid_dim), dtype=jnp.float32)
+
+    def precompute(self, desc: jnp.ndarray,
+                   desc_set_padded: Optional[jnp.ndarray] = None,
+                   desc_set_mask: Optional[jnp.ndarray] = None
+                   ) -> Dict[str, Any]:
+        """Conversation-invariant description projections.
+
+        Without word attention: project the CBOW description matrix through
+        ``y1``'s description block once — ``(D, hid)``. With word attention:
+        project the padded word set through ``d_d`` once (the reference
+        recomputes both every step, model.py:352, 431-432).
+
+        Note the reference's concat order differs between paths —
+        ``[h_z, desc]`` in build_inp (model.py:548) but ``[desc, h_z]``
+        under desc_attn (model.py:409-410) — so the y1 block split swaps
+        accordingly.
+        """
+        cache: Dict[str, Any] = {"desc": desc}
+        if self.desc_attn:
+            cache["dd"] = self.d_d(desc_set_padded)       # (D, L, A)
+            cache["padded"] = desc_set_padded
+            cache["mask"] = desc_set_mask
+        else:
+            k_desc = self.y1_kernel[self.hid_dim:]        # (desc, hid)
+            cache["desc_proj"] = (
+                jnp.dot(desc, k_desc, preferred_element_type=jnp.float32))
+        return cache
+
+    def step(self, z: jnp.ndarray, h_z: jnp.ndarray, cache: Dict[str, Any]
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One receiver turn.
+
+        Args:
+            z: the Sender's message ``(B, z_dim)`` (stop-gradiented by the
+               exchange engine, model.py:826-829).
+            h_z: previous hidden state ``(B, hid)``.
+            cache: output of :meth:`precompute`.
+
+        Returns ``(h_z_new, s_logits, y, w_logits)`` with ``y`` shaped
+        ``(B, D*out_dim)`` (``out_dim`` is 1 in every reference config).
+        """
+        desc = cache["desc"]
+        num_desc = desc.shape[0]
+        h_z_new = self.rnn(z, h_z)
+
+        s_logits = self.s(h_z_new)
+
+        if self.desc_attn:
+            # Word-level attention (model.py:344-410): score every word
+            # against h_z, softmax within each class's words, CBOW-pool.
+            dh = self.d_h(h_z_new)                        # (B, A)
+            pre = jnp.tanh(cache["dd"][None] + dh[:, None, None, :])
+            scores = self.d_attn(pre)[..., 0]             # (B, D, L)
+            neg = jnp.finfo(scores.dtype).min
+            scores = jnp.where(cache["mask"][None] > 0, scores, neg)
+            alpha = nn.softmax(scores, axis=-1)           # (B, D, L)
+            weighted_desc = jnp.einsum("bdl,dlv->bdv", alpha,
+                                       cache["padded"])   # (B, D, desc)
+            # y1 with desc_attn concat order [desc, h_z] (model.py:409-410).
+            k_desc = self.y1_kernel[:self.desc_dim]
+            k_h = self.y1_kernel[self.desc_dim:]
+            y_hid = jax.nn.relu(
+                jnp.einsum("bdv,vh->bdh", weighted_desc, k_desc)
+                + jnp.dot(h_z_new, k_h,
+                          preferred_element_type=jnp.float32)[:, None, :]
+                + self.y1_bias)
+        else:
+            # y1 with build_inp concat order [h_z, desc] (model.py:548).
+            k_h = self.y1_kernel[:self.hid_dim]
+            y_hid = jax.nn.relu(
+                jnp.dot(h_z_new, k_h,
+                        preferred_element_type=jnp.float32)[:, None, :]
+                + cache["desc_proj"][None]
+                + self.y1_bias)                           # (B, D, hid)
+
+        y = self.y2(y_hid).reshape(h_z_new.shape[0], -1)  # (B, D*out)
+
+        # Confidence-weighted description mixing; scores detached
+        # (model.py:441: F.softmax(y).detach()).
+        y_scores = jax.lax.stop_gradient(nn.softmax(y, axis=-1))
+        if self.desc_attn:
+            wd_inp = jnp.einsum("bd,bdv->bv",
+                                y_scores.reshape(-1, num_desc),
+                                weighted_desc)
+        else:
+            wd_inp = jnp.dot(y_scores.reshape(-1, num_desc), desc,
+                             preferred_element_type=jnp.float32)
+
+        h_w = jnp.tanh(self.w_h(h_z_new) + self.w_d(wd_inp))
+        w_logits = self.w(h_w)
+
+        return h_z_new, s_logits, y, w_logits

@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU platform so
+multi-chip sharding paths are exercised without TPU hardware (the standard
+JAX fake-backend technique, SURVEY §4c)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synthetic_dataset(tmp_path_factory):
+    from multimodalgame_tpu.data.synthetic import build_synthetic_dataset
+    root = tmp_path_factory.mktemp("synth")
+    return build_synthetic_dataset(str(root), num_classes=6,
+                                   train_per_class=8, dev_per_class=4,
+                                   wv_dim=16, seed=0)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
