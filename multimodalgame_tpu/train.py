@@ -1,0 +1,357 @@
+"""Training driver — the reference's ``run()`` (model.py:1001-1592).
+
+Flow parity: flag dump -> four-model construction (+ parameter-count
+logging) -> description loading -> optimizers -> optional checkpoint
+resume -> ``eval_only`` / ``binary_only`` branches -> epoch loop over HDF5
+batches with interval logging (losses, per-step entropies, sparkline
+message dumps for train *and* a re-run eval-mode exchange), periodic dev
+evaluation with best-checkpointing, and periodic checkpointing.
+
+The per-batch hot path is a single fused jitted train step
+(game/train.py); everything in this module is host-side orchestration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalgame_tpu.config import Flags
+from multimodalgame_tpu.data.descriptions import DescriptionPack, load_descriptions
+from multimodalgame_tpu.data.hdf5_loader import load_hdf5, prefetch
+from multimodalgame_tpu.eval import eval_dev
+from multimodalgame_tpu.extract import extract_binary
+from multimodalgame_tpu.game.agents import AgentModules, init_params, param_count
+from multimodalgame_tpu.game.config import GameConfig
+from multimodalgame_tpu.game.train import (init_opt_states, make_eval_exchange,
+                                           make_train_step)
+from multimodalgame_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from multimodalgame_tpu.utils.logging import FileLogger, VisdomLogger
+from multimodalgame_tpu.utils.sparks import bin_to_alpha, sparks
+
+
+def format_exchange_log(tag: str, sen_probs, sen_feats, rec_probs, rec_feats,
+                        s_probs, s_masks_post, n_steps: int,
+                        num_samples: int, use_alpha: bool) -> str:
+    """Render sampled conversations as sparkline dumps
+    (reference model.py:1411-1518).
+
+    ``s_masks_post`` is the per-step post-step mask array ``(T, B, 1)``
+    (the reference's ``s_masks[1:]``).
+    """
+    log = tag
+    for i_sample in range(num_samples):
+        prev_sen = np.zeros(sen_feats.shape[-1])
+        prev_rec = np.zeros(rec_feats.shape[-1])
+        for i_exchange in range(n_steps):
+            sen_probs_i = list(np.asarray(sen_probs[i_exchange][i_sample],
+                                          dtype=float))
+            sen_spark = sparks([1] + sen_probs_i)[1:]
+            rec_probs_i = list(np.asarray(rec_probs[i_exchange][i_sample],
+                                          dtype=float))
+            rec_spark = sparks([1] + rec_probs_i)[1:]
+            s_probs_i = list(np.asarray(s_probs[i_exchange][i_sample],
+                                        dtype=float))
+            s_spark = sparks([1] + s_probs_i)[1:]
+
+            sen_binary = np.asarray(sen_feats[i_exchange][i_sample])
+            sen_hamming = float(np.abs(prev_sen - sen_binary).sum())
+            prev_sen = sen_binary
+            rec_binary = np.asarray(rec_feats[i_exchange][i_sample])
+            rec_hamming = float(np.abs(prev_rec - rec_binary).sum())
+            prev_rec = rec_binary
+
+            sen_msg = "".join(str(int(b)) for b in sen_binary)
+            rec_msg = "".join(str(int(b)) for b in rec_binary)
+            if use_alpha:
+                sen_msg = bin_to_alpha(sen_msg)
+                rec_msg = bin_to_alpha(rec_msg)
+            if i_exchange == 0:
+                log += "\n{:>3}".format(i_sample)
+            else:
+                log += "\n   "
+            log += "        {}".format(sen_spark)
+            log += "           {}    {}".format(s_spark, rec_spark)
+            log += "\n    {:>3} S: {} {:4}".format(
+                i_exchange, sen_msg, sen_hamming)
+            log += "    s={} R: {} {:4}".format(
+                int(s_masks_post[i_exchange][i_sample][0]), rec_msg,
+                rec_hamming)
+    log += "\n"
+    return log
+
+
+def _load_desc_pack(flags: Flags, descr_path: str) -> DescriptionPack:
+    return load_descriptions(descr_path, flags.wv_type, flags.wv_dim,
+                             glove_path=flags.glove_path)
+
+
+def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
+    """Train (or eval/extract, per flags). Returns a summary dict."""
+    flogger = FileLogger(flags.log_file)
+    logger = VisdomLogger(env=flags.env,
+                          experiment_name=flags.experiment_name,
+                          enabled=flags.visdom)
+
+    flogger.Log("Flag Values:\n" +
+                json.dumps(flags.flag_values_dict(), indent=4,
+                           sort_keys=True))
+    if not os.path.exists(flags.json_file):
+        os.makedirs(os.path.dirname(flags.json_file) or ".", exist_ok=True)
+        with open(flags.json_file, "w") as f:
+            f.write(json.dumps(flags.flag_values_dict(), indent=4,
+                               sort_keys=True))
+
+    cfg = GameConfig.from_flags(flags)
+    modules = AgentModules(cfg)
+
+    # Descriptions (model.py:1066-1108). ``fake`` keeps the CSV structure
+    # but substitutes deterministic random word vectors.
+    if flags.wv_type == "none":
+        raise NotImplementedError("wv_type=none has no prediction targets")
+    desc_train = _load_desc_pack(flags, flags.descr_train)
+    desc_dev = _load_desc_pack(flags, flags.descr_dev)
+
+    params = init_params(modules, jax.random.PRNGKey(0),
+                         num_classes=desc_train.num_classes,
+                         max_words=max(desc_train.desc_set_lens))
+    # Architecture + parameter-count logging in the reference's order
+    # (model.py:1025-1064).
+    for name in ("sender", "baseline_sen", "receiver", "baseline_rec"):
+        flogger.Log("Architecture: {}".format(getattr(modules, name)))
+        flogger.Log("Total Parameters: {}".format(param_count(params[name])))
+
+    opt_states = init_opt_states(cfg, params)
+
+    epoch = 0
+    step = 0
+    best_dev_acc = 0.0
+
+    if os.path.exists(flags.checkpoint):
+        flogger.Log("Loading from: " + flags.checkpoint)
+        data, params, opt_states = load_checkpoint(flags.checkpoint, params,
+                                                   opt_states)
+        flogger.Log("Loaded at step: {} and best dev acc: {}".format(
+            data["step"], data["best_dev_acc"]))
+        step = int(data["step"])
+        best_dev_acc = float(data["best_dev_acc"])
+
+    eval_exchange = make_eval_exchange(modules)
+
+    # Alternatives to training (model.py:1165-1187).
+    if flags.eval_only:
+        if not os.path.exists(flags.checkpoint):
+            raise Exception("Must provide valid checkpoint.")
+        dev_acc, extra = eval_dev(flags, modules, params, eval_exchange,
+                                  flags.dev_file, flags.batch_size_dev,
+                                  epoch, flags.shuffle_dev, flags.top_k_dev,
+                                  desc_dev)
+        flogger.Log("Dev Accuracy: " + str(dev_acc))
+        with open(flags.eval_csv_file, "w") as f:
+            f.write("checkpoint,eval_file,topk,step,best_dev_acc,eval_acc,"
+                    "convlen_mean,convlen_std\n")
+            f.write("{},{},{},{},{},{},{},{}\n".format(
+                flags.checkpoint, flags.dev_file, flags.top_k_dev,
+                step, best_dev_acc, dev_acc,
+                extra["conversation_lengths_mean"],
+                extra["conversation_lengths_std"]))
+        return dict(dev_acc=dev_acc, extra=extra)
+    elif flags.binary_only:
+        if not os.path.exists(flags.checkpoint):
+            raise Exception("Must provide valid checkpoint.")
+        path = extract_binary(flags, modules, params, eval_exchange,
+                              flags.dev_file, flags.batch_size_dev, epoch,
+                              flags.shuffle_dev, desc_dev)
+        return dict(binary_output=path)
+
+    train_step = make_train_step(modules, flags.top_k_train,
+                                 flags.batch_size)
+
+    desc_j = jnp.asarray(desc_train.desc)
+    padded_j = (jnp.asarray(desc_train.desc_set_padded)
+                if cfg.desc_attn else None)
+    pmask_j = (jnp.asarray(desc_train.desc_set_mask)
+               if cfg.desc_attn else None)
+
+    key = jax.random.PRNGKey(1)
+    batch_accuracy = []
+    dev_accuracy = []
+    done = False
+
+    while epoch < flags.max_epoch and not done:
+        flogger.Log("Starting epoch: {}".format(epoch))
+
+        if flags.images == "mammal":
+            dataloader = prefetch(load_hdf5(
+                flags.train_file, flags.batch_size, epoch,
+                flags.shuffle_train, map_labels=desc_train.map_labels))
+        elif flags.images == "cifar":
+            from multimodalgame_tpu.data.cifar import load_cifar
+            dataloader = load_cifar(flags.batch_size, epoch)
+        else:
+            raise NotImplementedError
+
+        for i_batch, batch in enumerate(dataloader):
+            target = jnp.asarray(batch["target"])
+            data = jnp.asarray(batch[flags.img_feat])
+            kwargs = {}
+            if flags.attn_extra_context:
+                kwargs["data_context"] = jnp.asarray(
+                    batch[flags.data_context])
+
+            key, sub = jax.random.split(key)
+            params, opt_states, m = train_step(
+                params, opt_states, data, target, desc_j, sub,
+                desc_set_padded=padded_j, desc_set_mask=pmask_j, **kwargs)
+
+            batch_accuracy.append(float(m.accuracy))
+
+            if step % flags.log_interval == 0:
+                avg_batch_acc = float(np.array(
+                    batch_accuracy[-flags.log_interval:]).mean())
+                prefix = "Epoch: {} Step: {} Batch: {} ".format(
+                    epoch, step, i_batch)
+                flogger.Log(prefix + "Training Accuracy: {}".format(
+                    avg_batch_acc))
+                flogger.Log(prefix + "Loss Sender: {}".format(
+                    float(m.loss_sen)))
+                flogger.Log(prefix + "Loss Receiver (Y): {}".format(
+                    float(m.nll_loss)))
+                if flags.use_binary:
+                    flogger.Log(prefix + "Loss Receiver (Z): {}".format(
+                        float(m.loss_binary_rec)))
+                    if not flags.fixed_exchange:
+                        flogger.Log(prefix + "Loss Receiver (S): {}".format(
+                            float(m.loss_binary_s)))
+                    flogger.Log(prefix + "Loss Baseline (S): {}".format(
+                        float(m.loss_bas_sen)))
+                    flogger.Log(prefix + "Loss Baseline (R): {}".format(
+                        float(m.loss_bas_rec)))
+
+                flogger.Log("Predictions: {}".format(
+                    np.stack([np.asarray(target),
+                              np.asarray(m.argmax)], 0)))
+
+                n_train = int(m.exchange.n_steps)
+                if flags.use_binary:
+                    ent_sen = np.asarray(m.ent_binary_sen)[:n_train]
+                    if len(ent_sen) > 0:
+                        log_ent = "Entropy Sender Binary"
+                        for i, ent in enumerate(ent_sen):
+                            log_ent += "\n{}. {}".format(i, -float(ent))
+                        flogger.Log(log_ent + "\n")
+                    ent_rec = np.asarray(m.ent_binary_rec)[:max(n_train - 1,
+                                                                0)]
+                    if len(ent_rec) > 0:
+                        log_ent = "Entropy Receiver Binary"
+                        for i, ent in enumerate(ent_rec):
+                            log_ent += "\n{}. {}".format(i, -float(ent))
+                        flogger.Log(log_ent + "\n")
+                ent_y = np.asarray(m.ent_y_rec)[:n_train]
+                if len(ent_y) > 0:
+                    log_ent = "Entropy Receiver Predictions"
+                    for i, ent in enumerate(ent_y):
+                        log_ent += "\n{}. {}".format(i, -float(ent))
+                    flogger.Log(log_ent + "\n")
+
+                # Sampled + inferred conversation dumps (model.py:1411-1518).
+                if flags.exchange_samples > 0:
+                    ex = m.exchange
+                    flogger.Log(format_exchange_log(
+                        "Train:", np.asarray(ex.sen_probs),
+                        np.asarray(ex.sen_feats), np.asarray(ex.rec_probs),
+                        np.asarray(ex.rec_feats), np.asarray(ex.stop_probs),
+                        np.asarray(ex.stop_masks)[1:], n_train,
+                        flags.exchange_samples, flags.use_alpha))
+
+                    key, sub = jax.random.split(key)
+                    ex = eval_exchange(params, data, desc_j, sub,
+                                       desc_set_padded=padded_j,
+                                       desc_set_mask=pmask_j, **kwargs)
+                    flogger.Log(format_exchange_log(
+                        "Eval:", np.asarray(ex.sen_probs),
+                        np.asarray(ex.sen_feats), np.asarray(ex.rec_probs),
+                        np.asarray(ex.rec_feats), np.asarray(ex.stop_probs),
+                        np.asarray(ex.stop_masks)[1:], int(ex.n_steps),
+                        flags.exchange_samples, flags.use_alpha))
+
+                logger.log(key="Loss Sender", val=float(m.loss_sen),
+                           step=step)
+                logger.log(key="Loss Receiver (Y)", val=float(m.nll_loss),
+                           step=step)
+                if flags.use_binary:
+                    logger.log(key="Loss Receiver (Z)",
+                               val=float(m.loss_binary_rec), step=step)
+                    if not flags.fixed_exchange:
+                        logger.log(key="Loss Receiver (S)",
+                                   val=float(m.loss_binary_s), step=step)
+                    logger.log(key="Loss Baseline (S)",
+                               val=float(m.loss_bas_sen), step=step)
+                    logger.log(key="Loss Baseline (R)",
+                               val=float(m.loss_bas_rec), step=step)
+                logger.log(key="Training Accuracy", val=avg_batch_acc,
+                           step=step)
+
+            # Periodic dev evaluation + best checkpoint (model.py:1544-1576).
+            if step % flags.log_dev == 0:
+                dev_acc, extra = eval_dev(
+                    flags, modules, params, eval_exchange, flags.dev_file,
+                    flags.batch_size_dev, epoch, flags.shuffle_dev,
+                    flags.top_k_dev, desc_dev)
+                dev_accuracy.append(dev_acc)
+                logger.log(key="Development Accuracy", val=dev_acc,
+                           step=step)
+                logger.log(key="Conversation Length (avg)",
+                           val=extra["conversation_lengths_mean"], step=step)
+                logger.log(key="Conversation Length (std)",
+                           val=extra["conversation_lengths_std"], step=step)
+                logger.log(key="Hamming Receiver (avg)",
+                           val=extra["hamming_rec_mean"], step=step)
+                logger.log(key="Hamming Sender (avg)",
+                           val=extra["hamming_sen_mean"], step=step)
+                flogger.Log(
+                    "Epoch: {} Step: {} Batch: {} Development Accuracy: {}"
+                    .format(epoch, step, i_batch, dev_accuracy[-1]))
+                flogger.Log(
+                    "Epoch: {} Step: {} Batch: {} Conversation Length "
+                    "(avg/std): {}/{}".format(
+                        epoch, step, i_batch,
+                        extra["conversation_lengths_mean"],
+                        extra["conversation_lengths_std"]))
+                flogger.Log(
+                    "Epoch: {} Step: {} Batch: {} Mean Hamming Distance "
+                    "(R/S): {}/{}".format(
+                        epoch, step, i_batch, extra["hamming_rec_mean"],
+                        extra["hamming_sen_mean"]))
+                if step >= flags.save_after and dev_acc > best_dev_acc:
+                    best_dev_acc = dev_acc
+                    flogger.Log("Checkpointing with best Development "
+                                "Accuracy: {}".format(best_dev_acc))
+                    save_checkpoint(flags.checkpoint + "_best",
+                                    dict(step=step,
+                                         best_dev_acc=best_dev_acc),
+                                    params, opt_states)
+
+            # Periodic checkpoint (model.py:1578-1584).
+            if step >= flags.save_after and step % flags.save_interval == 0:
+                flogger.Log("Checkpointing.")
+                save_checkpoint(flags.checkpoint,
+                                dict(step=step, best_dev_acc=best_dev_acc),
+                                params, opt_states)
+
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                done = True
+                break
+
+        epoch += 1
+
+    flogger.Log("Finished training.")
+    return dict(step=step, best_dev_acc=best_dev_acc, params=params,
+                opt_states=opt_states,
+                batch_accuracy=batch_accuracy, metrics=logger.history)
