@@ -191,6 +191,62 @@ def make_train_step(modules: AgentModules, top_k: int, batch_denom: int):
     return step
 
 
+class ScanMetrics(NamedTuple):
+    """Lean per-step scalars returned by the fused multi-step trainer."""
+    loss_rec: jnp.ndarray      # (K,)
+    loss_sen: jnp.ndarray      # (K,)
+    nll_loss: jnp.ndarray      # (K,)
+    loss_bas_rec: jnp.ndarray  # (K,)
+    loss_bas_sen: jnp.ndarray  # (K,)
+    accuracy: jnp.ndarray      # (K,)
+
+
+def make_multistep_train_step(modules: AgentModules, top_k: int,
+                              batch_denom: int):
+    """Device-side training loop: one compiled program runs K optimizer
+    updates via ``lax.scan`` over K staged batches.
+
+    This is the TPU-native throughput path: per-update host dispatch cost
+    (round-trips through the runtime, ~ms under a remote tunnel) is
+    amortized over the whole chunk, leaving pure device time per step.
+    The reference's loop pays a host round-trip *per sample draw*
+    (SURVEY §3.1); the single-step path pays one per update; this path
+    pays one per K updates.
+
+    Returns ``chunk(params, opt_states, data (K,B,F), target (K,B), desc,
+    keys (K,key)) -> (params, opt_states, ScanMetrics)``.
+    """
+    cfg = modules.cfg
+    tx = build_optimizer(cfg)
+    update_names = AGENT_NAMES if cfg.use_binary else ("receiver",)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def chunk(params, opt_states, data, target, desc, keys):
+        def body(carry, xs):
+            params, opt_states = carry
+            b_data, b_target, key = xs
+            grads, m = jax.grad(
+                lambda p: compute_losses(modules, p, b_data, b_target,
+                                         desc, key, None, None, None,
+                                         top_k, batch_denom),
+                has_aux=True)(params)
+            new_params = dict(params)
+            new_opts = dict(opt_states)
+            for name in update_names:
+                updates, new_opts[name] = tx.update(
+                    grads[name], opt_states[name], params[name])
+                new_params[name] = optax.apply_updates(params[name], updates)
+            out = ScanMetrics(m.loss_rec, m.loss_sen, m.nll_loss,
+                              m.loss_bas_rec, m.loss_bas_sen, m.accuracy)
+            return (new_params, new_opts), out
+
+        (p, o), metrics = jax.lax.scan(body, (params, opt_states),
+                                       (data, target, keys))
+        return p, o, metrics
+
+    return chunk
+
+
 def make_eval_exchange(modules: AgentModules):
     """Build the jitted eval-mode exchange used by eval_dev, extraction,
     and the train loop's sample dumps (rounded messages, cumulative stop

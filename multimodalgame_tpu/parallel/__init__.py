@@ -1,0 +1,2 @@
+from multimodalgame_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, make_sharded_train_step, shard_batch, replicate)

@@ -1,0 +1,92 @@
+"""Data-parallel scale-out over a ``jax.sharding.Mesh``.
+
+The reference is strictly single-process / single-device (SURVEY §2
+parallelism note: no torch.distributed/NCCL anywhere); scale-out is a new
+first-class capability of this framework. The strategy that fits this
+model family is **data parallelism over episode batches**: parameters and
+descriptions replicated, image batches and targets sharded on the batch
+axis, with XLA's SPMD partitioner inserting the gradient all-reduce
+(``psum`` over ICI) automatically from the sharding annotations — the
+canonical JAX recipe (annotate shardings; let XLA place collectives).
+
+The batch-global reductions inside the loss (masked advantage std over
+the whole batch, mask-sum denominators, ``n_steps``) become cross-device
+collectives under the same mechanism, so sharded results are numerically
+identical to single-device execution (verified in
+tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodalgame_tpu.game.agents import AgentModules
+from multimodalgame_tpu.game.train import build_optimizer, compute_losses
+
+import optax
+
+BATCH_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices: Optional[list] = None) -> Mesh:
+    """A 1-D mesh over the batch axis (ICI within a slice)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Shard every leaf's leading (batch) axis across the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P(BATCH_AXIS)))
+
+
+def make_sharded_train_step(modules: AgentModules, top_k: int,
+                            batch_denom: int, mesh: Mesh):
+    """Data-parallel variant of ``game.train.make_train_step``.
+
+    Same signature and semantics. Callers place inputs with
+    :func:`replicate` (params, optimizer state, descriptions, key) and
+    :func:`shard_batch` (data, target, data_context); jit follows the
+    argument shardings and XLA inserts the psum gradient all-reduce. The
+    batch size must divide the mesh size.
+    """
+    cfg = modules.cfg
+    tx = build_optimizer(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_states, data, target, desc, key,
+             desc_set_padded=None, desc_set_mask=None, data_context=None):
+        grads, metrics = jax.grad(
+            lambda p: compute_losses(
+                modules, p, data, target, desc, key, desc_set_padded,
+                desc_set_mask, data_context, top_k, batch_denom),
+            has_aux=True)(params)
+        new_params = dict(params)
+        new_opts = dict(opt_states)
+        update_names = (("sender", "receiver", "baseline_sen",
+                         "baseline_rec") if cfg.use_binary
+                        else ("receiver",))
+        for name in update_names:
+            updates, new_opts[name] = tx.update(
+                grads[name], opt_states[name], params[name])
+            new_params[name] = optax.apply_updates(params[name], updates)
+        return new_params, new_opts, metrics
+
+    return step

@@ -4,7 +4,10 @@ JAX fake-backend technique, SURVEY §4c)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Note: the axon TPU plugin in this image ignores JAX_PLATFORMS; only
+# JAX_PLATFORM_NAME reliably selects the CPU backend. Set both.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,89 @@
+"""Description/text pipeline tests (reference misc.py:220-340)."""
+
+import numpy as np
+
+from multimodalgame_tpu.data.descriptions import (DescriptionPack, cbow,
+                                                  clean_desc, embed,
+                                                  load_descriptions,
+                                                  read_data)
+
+
+def _write_csv(path):
+    path.write_text(
+        "3,aardvark,nocturnal burrowing mammal of the grasslands\n"
+        "11,armadillo,burrowing chiefly nocturnal mammal with strong plates\n")
+
+
+def test_clean_desc_strips_stopwords_and_punct():
+    words = clean_desc("The quick, brown fox; of the grasslands.")
+    assert "the" not in words
+    assert "of" not in words
+    assert "," not in words and ";" not in words and "." not in words
+    assert "quick" in words and "fox" in words and "grasslands" in words
+
+
+def test_clean_desc_dedup():
+    words = clean_desc("mammal mammal burrowing mammal")
+    assert sorted(words) == ["burrowing", "mammal"]
+
+
+def test_read_data(tmp_path):
+    p = tmp_path / "d.csv"
+    _write_csv(p)
+    descr, word_dict, dict_size, l2i, i2l = read_data(str(p))
+    assert len(descr) == 2
+    assert descr[0]["name"] == "aardvark"
+    assert "nocturnal" in descr[0]["desc"]
+    # Non-contiguous label ids map to row order (misc.py:250-251).
+    assert l2i == {3: 0, 11: 1}
+    assert i2l == {0: "aardvark", 1: "armadillo"}
+    assert dict_size == len(word_dict)
+
+
+def test_embed_and_cbow(tmp_path):
+    p = tmp_path / "d.csv"
+    _write_csv(p)
+    descr, word_dict, _, _, _ = read_data(str(p))
+    glove = tmp_path / "glove.txt"
+    # Only two vocabulary words get vectors; rest are OOV.
+    glove.write_text("nocturnal 1.0 2.0 3.0\nmammal 0.5 0.5 0.5\n"
+                     "unrelated 9.0 9.0 9.0\n")
+    word_dict = embed(word_dict, str(glove))
+    assert np.allclose(word_dict["nocturnal"]["emb"], [1, 2, 3])
+    assert word_dict["burrowing"]["emb"] is None
+
+    descr = cbow(descr, word_dict)
+    # cbow = sum of found vectors / count of found words (misc.py:335-337)
+    expect = (np.array([1, 2, 3]) + np.array([0.5, 0.5, 0.5])) / 2
+    assert np.allclose(descr[0]["cbow"], expect)
+    # desc_set has one row per token, zeros for OOV (misc.py:330-333).
+    assert descr[0]["set"].shape == (len(descr[0]["desc"]), 3)
+    found = (np.abs(descr[0]["set"]).sum(1) > 0).sum()
+    assert found == 2
+
+
+def test_load_descriptions_pack(tmp_path):
+    p = tmp_path / "d.csv"
+    _write_csv(p)
+    pack = load_descriptions(str(p), "fake", wv_dim=8)
+    assert pack.desc.shape == (2, 8)
+    assert pack.num_classes == 2
+    assert pack.map_labels(3) == 0
+    assert pack.map_labels(11) == 1
+    assert pack.map_labels(999) is None
+    # Padded word-set view is consistent with the flat set.
+    assert pack.desc_set_padded.shape[0] == 2
+    assert pack.desc_set_mask.sum() == sum(pack.desc_set_lens)
+    off = 0
+    for i, n in enumerate(pack.desc_set_lens):
+        assert np.allclose(pack.desc_set_padded[i, :n],
+                           pack.desc_set[off:off + n])
+        off += n
+
+
+def test_fake_embeddings_deterministic(tmp_path):
+    p = tmp_path / "d.csv"
+    _write_csv(p)
+    a = load_descriptions(str(p), "fake", wv_dim=8)
+    b = load_descriptions(str(p), "fake", wv_dim=8)
+    assert np.allclose(a.desc, b.desc)
