@@ -4,14 +4,19 @@ JAX fake-backend technique, SURVEY §4c)."""
 
 import os
 
-# Note: the axon TPU plugin in this image ignores JAX_PLATFORMS; only
-# JAX_PLATFORM_NAME reliably selects the CPU backend. Set both.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# This image preloads jax at interpreter startup (an `axon` usercustomize
+# hook), so setting JAX_PLATFORMS via os.environ here is too late — the
+# config already read the environment. XLA_FLAGS is still honored because
+# the backend itself initializes lazily, and jax.config.update works any
+# time before first device use.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,88 @@
+"""Checkpoint round-trip tests (reference misc.py:58-92)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalgame_tpu.game.agents import AgentModules, init_params
+from multimodalgame_tpu.game.config import GameConfig
+from multimodalgame_tpu.game.train import init_opt_states, make_train_step
+from multimodalgame_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _setup():
+    cfg = GameConfig(img_feat_dim=16, img_h_dim=8, sender_out_dim=4,
+                     rec_w_dim=4, rec_hidden=8, wv_dim=6, max_exchange=2,
+                     baseline_hid_dim=8)
+    mods = AgentModules(cfg)
+    params = init_params(mods, jax.random.PRNGKey(0), num_classes=3)
+    opts = init_opt_states(cfg, params)
+    return cfg, mods, params, opts
+
+
+def test_roundtrip(tmp_path):
+    cfg, mods, params, opts = _setup()
+    path = str(tmp_path / "ckpt.pt")
+    save_checkpoint(path, dict(step=42, best_dev_acc=0.75), params, opts)
+
+    # Fresh templates with different values.
+    params2 = init_params(mods, jax.random.PRNGKey(9), num_classes=3)
+    opts2 = init_opt_states(cfg, params2)
+    data, params3, opts3 = load_checkpoint(path, params2, opts2)
+
+    assert data["step"] == 42
+    assert data["best_dev_acc"] == 0.75
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Optimizer-state pytree structure survives.
+    assert (jax.tree_util.tree_structure(opts)
+            == jax.tree_util.tree_structure(opts3))
+
+
+def test_resume_training_continuity(tmp_path):
+    """Save -> load -> one step must equal just continuing (optimizer
+    state included), mirroring the reference's auto-resume
+    (model.py:1149-1156)."""
+    cfg, mods, params, opts = _setup()
+    step = make_train_step(mods, top_k=2, batch_denom=4)
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randn(4, 16), jnp.float32)
+    target = jnp.asarray([0, 1, 2, 0])
+    desc = jnp.asarray(rng.randn(3, 6), jnp.float32)
+
+    # Advance two steps, checkpoint midway.
+    params, opts, _ = step(params, opts, data, target, desc,
+                           jax.random.PRNGKey(1))
+    path = str(tmp_path / "mid.pt")
+    save_checkpoint(path, dict(step=1, best_dev_acc=0.0), params, opts)
+    params_cont, opts_cont, m_cont = step(params, opts, data, target, desc,
+                                          jax.random.PRNGKey(2))
+
+    cfg2, mods2, params2, opts2 = _setup()
+    _, params_re, opts_re = load_checkpoint(path, params2, opts2)
+    step2 = make_train_step(mods2, top_k=2, batch_denom=4)
+    params_res, opts_res, m_res = step2(params_re, opts_re, data, target,
+                                        desc, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(m_cont.loss_rec),
+                               float(m_res.loss_rec), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(params_cont),
+                    jax.tree_util.tree_leaves(params_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_missing_file_raises(tmp_path):
+    cfg, mods, params, opts = _setup()
+    with pytest.raises(FileNotFoundError):
+        load_checkpoint(str(tmp_path / "nope.pt"), params, opts)
+
+
+def test_atomic_overwrite(tmp_path):
+    cfg, mods, params, opts = _setup()
+    path = str(tmp_path / "ckpt.pt")
+    save_checkpoint(path, dict(step=1, best_dev_acc=0.1), params, opts)
+    save_checkpoint(path, dict(step=2, best_dev_acc=0.2), params, opts)
+    data, _, _ = load_checkpoint(path, params, opts)
+    assert data["step"] == 2

@@ -1,0 +1,104 @@
+"""End-to-end smoke tests: the full ``run()`` driver on synthetic data
+(the SURVEY §4d fixture strategy), covering train/eval/extract modes."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from multimodalgame_tpu.config import finalize_flags, make_flags, parse_args
+from multimodalgame_tpu.train import run
+
+
+def _flags(paths, tmp_path, extra=()):
+    f = make_flags()
+    argv = [
+        "-experiment_name", "e2e",
+        "-model_type", "Adaptive",
+        "-log_path", str(tmp_path / "logs"),
+        "-batch_size", "8", "-batch_size_dev", "8",
+        "-rec_w_dim", "8", "-sender_out_dim", "8",
+        "-img_h_dim", "16", "-rec_hidden", "16",
+        "-baseline_hid_dim", "16",
+        "-max_exchange", "3",
+        "-entropy_rec", "0.01", "-entropy_sen", "0.01", "-entropy_s", "0.08",
+        "-max_epoch", "2",
+        "-top_k_dev", "2", "-top_k_train", "2",
+        "-descr_train", paths["descr"], "-descr_dev", paths["descr"],
+        "-train_file", paths["train"], "-dev_file", paths["dev"],
+        "-wv_dim", "16", "-glove_path", paths["glove"],
+        "-log_interval", "4", "-log_dev", "6",
+        "-save_after", "2", "-save_interval", "4",
+        "-exchange_samples", "1",
+    ] + list(extra)
+    parse_args(f, argv)
+    finalize_flags(f, argv)
+    os.makedirs(f.log_path, exist_ok=True)
+    return f
+
+
+def test_train_eval_extract_cycle(synthetic_dataset, tmp_path):
+    paths = synthetic_dataset
+    flags = _flags(paths, tmp_path)
+
+    result = run(flags, max_steps=8)
+    assert result["step"] == 8
+
+    # Artifacts from training.
+    assert os.path.exists(flags.log_file)
+    assert os.path.exists(flags.json_file)
+    assert os.path.exists(flags.checkpoint)
+    log = open(flags.log_file).read()
+    assert "Flag Values" in log
+    assert "Training Accuracy" in log
+    assert "Development Accuracy" in log
+    assert "Loss Receiver (S)" in log  # adaptive-only loss line
+    assert "Train:" in log and "Eval:" in log  # sparkline dumps
+    json.loads(open(flags.json_file).read())  # valid JSON flag dump
+
+    # eval_only from the checkpoint (model.py:1166-1180).
+    flags2 = _flags(paths, tmp_path, extra=["-eval_only"])
+    out = run(flags2)
+    assert 0.0 <= out["dev_acc"] <= 1.0
+    assert os.path.exists(flags2.eval_csv_file)
+    header, row = open(flags2.eval_csv_file).read().strip().split("\n")
+    assert header.startswith("checkpoint,eval_file,topk")
+    assert os.path.exists(flags2.conf_mat)
+    cm = np.loadtxt(flags2.conf_mat, delimiter=",")
+    assert cm.shape == (6, 6) or cm.size > 0
+
+    # binary_only extraction (model.py:1181-1187).
+    flags3 = _flags(paths, tmp_path, extra=["-binary_only",
+                                            "-batch_size_dev", "4"])
+    out = run(flags3)
+    with h5py.File(out["binary_output"]) as f:
+        comm = f["Communication"]
+        preds = f["Predictions"]
+        assert comm.shape[0] > 0
+        assert preds.shape[0] * 2 == comm.shape[0]
+        assert set(comm.dtype.names) == {
+            "ExampleId", "AgentId", "Index", "Target", "Rank",
+            "BinaryProb", "BinaryVec"}
+        assert set(np.unique(comm["AgentId"])) == {b"S", b"R"}
+        # Sender rows at even indices, receiver at odd
+        # (binary_vectors.py:103, 119).
+        s_rows = comm["AgentId"] == b"S"
+        assert (comm["Index"][s_rows] % 2 == 0).all()
+        assert (comm["Index"][~s_rows] % 2 == 1).all()
+        assert set(preds.dtype.names) == {
+            "ExampleId", "AgentId", "Index", "Target", "Rank",
+            "Predictions", "StopProb", "StopVec", "StopMask"}
+
+
+def test_resume_from_checkpoint(synthetic_dataset, tmp_path):
+    paths = synthetic_dataset
+    flags = _flags(paths, tmp_path)
+    run(flags, max_steps=5)  # periodic save fires at step 4
+    # Second invocation auto-resumes from flags.checkpoint
+    # (model.py:1149-1156).
+    flags2 = _flags(paths, tmp_path)
+    run(flags2, max_steps=6)
+    log = open(flags2.log_file).read()
+    assert "Loading from: " + flags2.checkpoint in log

@@ -156,7 +156,7 @@ def test_get_rec_outp_masked_selection():
 
 
 def test_topk_accuracy_denominator_quirk():
-    dist = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    dist = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.15, 0.1]])
     t = jnp.asarray([1, 2])
     # top-1: first correct, second wrong; denominator is the configured
     # batch size (4), not the actual rows (2) — model.py:667.

@@ -1,0 +1,59 @@
+"""Logger / sparkline / log-reparse tests (reference misc.py:95-217,
+sparks.py)."""
+
+import json
+
+from multimodalgame_tpu.utils.logging import (FileLogger, VisdomLogger,
+                                              read_log_load)
+from multimodalgame_tpu.utils.sparks import bin_to_alpha, sparks
+
+
+def test_sparks_rendering():
+    # Bar heights follow round(x / (max/8)) (reference sparks.py:12-14).
+    assert sparks([1.0]) == "▉"
+    assert sparks([0.0, 1.0]) == " ▉"
+    s = sparks([1] + [0.5])[1:]  # the driver's [1]+probs scaling trick
+    assert s == "▄"
+    assert len(sparks([0.1, 0.5, 0.9, 1.0])) == 4
+
+
+def test_bin_to_alpha():
+    # 5 bits per symbol, offset 'A' (reference model.py:991-998).
+    assert bin_to_alpha("00000") == "A"
+    assert bin_to_alpha("00001") == "B"
+    assert bin_to_alpha("0000000001") == "A B"
+
+
+def test_file_logger_format(tmp_path, capsys):
+    path = str(tmp_path / "x.log")
+    lg = FileLogger(path)
+    lg.Log("hello world")
+    line = open(path).read().strip()
+    # "yy-mm-dd HH:MM:SS [1] message" (misc.py:180-183)
+    assert line.endswith("[1] hello world")
+    assert len(line.split(" ")[0].split("-")) == 3
+
+
+def test_file_logger_levels(tmp_path):
+    path = str(tmp_path / "x.log")
+    lg = FileLogger(path, min_file_level=FileLogger.WARNING)
+    lg.Log("info msg", level=FileLogger.INFO)
+    lg.Log("warn msg", level=FileLogger.WARNING)
+    content = open(path).read()
+    assert "info msg" not in content
+    assert "warn msg" in content
+
+
+def test_visdom_logger_history_buffer():
+    lg = VisdomLogger(enabled=False)
+    lg.log("Loss", 1.0, step=0)
+    lg.log("Loss", 0.5, step=1)
+    assert lg.history["Loss"] == [(0, 1.0), (1, 0.5)]
+
+
+def test_read_log_load(tmp_path):
+    path = str(tmp_path / "x.log")
+    lg = FileLogger(path)
+    lg.Log("Flag Values:\n" + json.dumps({"a": 1, "b": "x"}, indent=4))
+    lg.Log("other stuff")
+    assert read_log_load(path) == {"a": 1, "b": "x"}
