@@ -247,15 +247,48 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
     return chunk
 
 
-def make_eval_exchange(modules: AgentModules):
+def make_eval_exchange(modules: AgentModules, use_pallas: bool = False):
     """Build the jitted eval-mode exchange used by eval_dev, extraction,
     and the train loop's sample dumps (rounded messages, cumulative stop
-    product — model.py:640, 1463-1465)."""
+    product — model.py:640, 1463-1465).
+
+    ``use_pallas=True`` routes eligible configs through the fused
+    whole-conversation Pallas kernel (ops/pallas_exchange.py) — identical
+    outputs, single kernel launch. Ineligible configs silently use the
+    lax.scan path.
+    """
+    cfg = modules.cfg
+    pallas_ok = False
+    if use_pallas:
+        from multimodalgame_tpu.ops.pallas_exchange import supports_config
+        pallas_ok = supports_config(cfg)
 
     @functools.partial(jax.jit, static_argnames=("use_corrupt",))
     def run(params, data, desc, key, desc_set_padded=None,
             desc_set_mask=None, data_context=None, corrupt_mask=None,
             use_corrupt=False):
+        if pallas_ok and desc_set_padded is None and data_context is None:
+            from multimodalgame_tpu.ops.pallas_exchange import (
+                fused_eval_exchange)
+            f = fused_eval_exchange(
+                cfg, params, data, desc,
+                corrupt_mask=corrupt_mask if use_corrupt else None)
+            batch = data.shape[0]
+            stop_masks = jnp.concatenate(
+                [jnp.ones((1, batch, 1), jnp.float32), f.masks], axis=0)
+            stop_masks = stop_masks.at[-1].set(0.0)
+            if cfg.fixed_exchange:
+                n_steps = jnp.asarray(cfg.max_exchange, jnp.int32)
+            else:
+                alive = jnp.sum(f.masks, axis=(1, 2)) > 0
+                n_steps = 1 + jnp.sum(alive[:-1].astype(jnp.int32))
+            zeros = jnp.zeros((cfg.max_exchange, batch, 1), jnp.float32)
+            return ExchangeOutputs(
+                stop_masks=stop_masks, stop_feats=f.stop_feats,
+                stop_probs=f.stop_probs, sen_feats=f.sen_feats,
+                sen_probs=f.sen_probs, rec_feats=f.rec_feats,
+                rec_probs=f.rec_probs, y=f.y, bs=zeros, br=zeros,
+                n_steps=n_steps, attn_scores=None)
         return exchange(modules, params, data, desc, key, train=False,
                         desc_set_padded=desc_set_padded,
                         desc_set_mask=desc_set_mask,

@@ -32,6 +32,7 @@ from multimodalgame_tpu.game.train import (init_opt_states, make_eval_exchange,
                                            make_train_step)
 from multimodalgame_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from multimodalgame_tpu.utils.logging import FileLogger, VisdomLogger
+from multimodalgame_tpu.utils.profiling import StepTimer
 from multimodalgame_tpu.utils.sparks import bin_to_alpha, sparks
 
 
@@ -98,6 +99,12 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                           experiment_name=flags.experiment_name,
                           enabled=flags.visdom)
 
+    # Debug mode: the reference arms numpy fp exceptions
+    # (model.py:1806-1807); the device-side analog is NaN checking on
+    # every jitted computation.
+    if flags.debug:
+        jax.config.update("jax_debug_nans", True)
+
     flogger.Log("Flag Values:\n" +
                 json.dumps(flags.flag_values_dict(), indent=4,
                            sort_keys=True))
@@ -141,7 +148,10 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
         step = int(data["step"])
         best_dev_acc = float(data["best_dev_acc"])
 
-    eval_exchange = make_eval_exchange(modules)
+    # Fused Pallas eval kernel: opt-in via MMG_USE_PALLAS_EVAL=1 (only
+    # affects eligible configs; see ops/pallas_exchange.py).
+    eval_exchange = make_eval_exchange(
+        modules, use_pallas=os.environ.get("MMG_USE_PALLAS_EVAL") == "1")
 
     # Alternatives to training (model.py:1165-1187).
     if flags.eval_only:
@@ -182,6 +192,7 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     batch_accuracy = []
     dev_accuracy = []
     done = False
+    timer = StepTimer()
 
     while epoch < flags.max_epoch and not done:
         flogger.Log("Starting epoch: {}".format(epoch))
@@ -205,9 +216,11 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                     batch[flags.data_context])
 
             key, sub = jax.random.split(key)
-            params, opt_states, m = train_step(
-                params, opt_states, data, target, desc_j, sub,
-                desc_set_padded=padded_j, desc_set_mask=pmask_j, **kwargs)
+            with timer:
+                params, opt_states, m = train_step(
+                    params, opt_states, data, target, desc_j, sub,
+                    desc_set_padded=padded_j, desc_set_mask=pmask_j,
+                    **kwargs)
 
             batch_accuracy.append(float(m.accuracy))
 
@@ -349,6 +362,10 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                 done = True
                 break
 
+        if timer.count:
+            flogger.Log("Epoch {} step timing: {}".format(
+                epoch, timer.summary()))
+            timer.reset()
         epoch += 1
 
     flogger.Log("Finished training.")
