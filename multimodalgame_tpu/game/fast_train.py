@@ -1,0 +1,121 @@
+"""Fast training path: sequential sampling, batched differentiation.
+
+The conversation is inherently sequential *forward* (each query feeds the
+next sender turn), but its gradient structure is not: every tensor
+crossing between agents is a detached sample (SURVEY §7 hard part 2), so
+the only true backward-through-time dependency is the Receiver's GRU
+chain. The default path differentiates straight through the full
+``lax.scan`` — T sequential steps of small-matmul head gradients. This
+path restructures the same math:
+
+1. **Phase A (sample)** — run the standard exchange under
+   ``stop_gradient`` to obtain the sampled bit record (z, w, s) and the
+   stop-mask chain. Contributes nothing to the backward graph.
+2. **Phase B (recompute, differentiable)** — rebuild every
+   loss-bearing quantity from the recorded bits with maximal batching:
+   sender logits vmapped over all T turns (one ``(T*B, F)`` matmul
+   instead of T small ones), a *GRU-only* scan for the hidden-state
+   chain, all receiver heads and both baselines vmapped over T.
+
+The losses (game/train.py:losses_from_exchange) see identical values —
+the recomputed probabilities equal phase A's because they are the same
+functions of the same inputs — but the backward pass now consists of a
+handful of large batched matmuls plus a T-step BPTT of just the GRU cell.
+
+Eligible for the non-attention configs (visual/description attention keep
+the reference path); selected automatically by the train-step factories.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodalgame_tpu.game.agents import AgentModules
+from multimodalgame_tpu.game.config import GameConfig
+from multimodalgame_tpu.game.exchange import ExchangeOutputs, exchange
+from multimodalgame_tpu.game.train import TrainMetrics, losses_from_exchange
+
+stop_grad = jax.lax.stop_gradient
+
+
+def supports_fast(cfg: GameConfig) -> bool:
+    return not cfg.visual_attn and not cfg.desc_attn
+
+
+def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
+                        data: jnp.ndarray, target: jnp.ndarray,
+                        desc: jnp.ndarray, key: jax.Array,
+                        top_k: int, batch_denom: int
+                        ) -> Tuple[jnp.ndarray, TrainMetrics]:
+    cfg = modules.cfg
+    assert supports_fast(cfg)
+    T = cfg.max_exchange
+    batch = data.shape[0]
+
+    # ---- Phase A: sampled conversation, gradient-free ----
+    frozen = jax.tree_util.tree_map(stop_grad, params)
+    ex = exchange(modules, frozen, data, desc, key, train=True)
+    z_bits = stop_grad(ex.sen_feats)    # (T, B, W) post corruption/flip
+    w_bits = stop_grad(ex.rec_feats)    # (T, B, W) post flip/ignore
+    s_bits = stop_grad(ex.stop_feats)   # (T, B, 1)
+
+    # The query each sender turn actually saw (model.py:786-787, 803).
+    w_prev = jnp.concatenate(
+        [jnp.full((1, batch, cfg.rec_w_dim), cfg.first_rec, jnp.float32),
+         w_bits[:-1]], axis=0)
+
+    # ---- Phase B: differentiable batched recompute ----
+    def sen_apply(method, *a):
+        return modules.sender.apply({"params": params["sender"]}, *a,
+                                    method=method)
+
+    def rec_apply(method, *a):
+        return modules.receiver.apply({"params": params["receiver"]}, *a,
+                                      method=method)
+
+    sen_cache = sen_apply("precompute", data, None)
+    rec_cache = rec_apply("precompute", desc, None, None)
+
+    # Sender turns: batched over T (data is closed over, so its projection
+    # is computed once; the t==0 code-bias select is vmapped).
+    z_logits, h_x, _ = jax.vmap(
+        lambda w, t: sen_apply("step", data, w, t, sen_cache))(
+        w_prev, jnp.arange(T))
+    if cfg.use_binary:
+        z_probs = jax.nn.sigmoid(z_logits)
+    else:
+        z_probs = jnp.zeros_like(z_logits)
+
+    # GRU-only differentiable hidden chain over the recorded messages.
+    h0 = jnp.zeros((batch, cfg.rec_hidden), jnp.float32)
+    def gru_step(h, z):
+        h2 = rec_apply("gru", z, h)
+        return h2, h2
+    _, h_stack = jax.lax.scan(gru_step, h0, z_bits)      # (T, B, R)
+
+    # All heads batched over T.
+    s_logits, y, w_logits = jax.vmap(
+        lambda h: rec_apply("heads", h, rec_cache))(h_stack)
+    s_probs = jax.nn.sigmoid(s_logits)
+    if cfg.use_binary:
+        w_probs = jax.nn.sigmoid(w_logits)
+    else:
+        w_probs = jnp.zeros_like(w_logits)
+
+    # Baselines batched over T (inputs detached, model.py:831-843).
+    bs = jax.vmap(lambda hx, w: modules.baseline_sen.apply(
+        {"params": params["baseline_sen"]}, stop_grad(hx), w, None))(
+        h_x, w_prev)
+    br = jax.vmap(lambda z, h: modules.baseline_rec.apply(
+        {"params": params["baseline_rec"]}, None, z, stop_grad(h)))(
+        z_bits, h_stack)
+
+    ex_out = ExchangeOutputs(
+        stop_masks=ex.stop_masks, stop_feats=s_bits, stop_probs=s_probs,
+        sen_feats=z_bits, sen_probs=z_probs, rec_feats=w_bits,
+        rec_probs=w_probs, y=y, bs=bs, br=br, n_steps=ex.n_steps,
+        attn_scores=None)
+    return losses_from_exchange(cfg, ex_out, target, top_k, batch_denom)

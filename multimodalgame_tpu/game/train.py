@@ -90,12 +90,19 @@ def compute_losses(modules: AgentModules, params: Dict[str, Any],
                    ) -> Tuple[jnp.ndarray, TrainMetrics]:
     """One training forward pass: exchange + all loss terms
     (the per-batch body of the reference run(), model.py:1229-1305)."""
-    cfg = modules.cfg
-    T = cfg.max_exchange
-
     ex = exchange(modules, params, data, desc, key, train=True,
                   desc_set_padded=desc_set_padded,
                   desc_set_mask=desc_set_mask, data_context=data_context)
+    return losses_from_exchange(modules.cfg, ex, target, top_k, batch_denom)
+
+
+def losses_from_exchange(cfg, ex: ExchangeOutputs, target: jnp.ndarray,
+                         top_k: int, batch_denom: int
+                         ) -> Tuple[jnp.ndarray, TrainMetrics]:
+    """Loss assembly from a (differentiable) conversation record — shared
+    by the reference scan path and the fast recompute path
+    (game/fast_train.py)."""
+    T = cfg.max_exchange
 
     masks = None if cfg.fixed_exchange else assemble_loss_masks(ex.stop_masks)
 
@@ -155,7 +162,30 @@ def compute_losses(modules: AgentModules, params: Dict[str, Any],
     return total, metrics
 
 
-def make_train_step(modules: AgentModules, top_k: int, batch_denom: int):
+def _loss_fn_for(modules: AgentModules, fast: Any):
+    """Select the loss computation: the fast batched-recompute path
+    (game/fast_train.py) when eligible, else the reference scan path.
+    ``fast`` is True/False/"auto"."""
+    from multimodalgame_tpu.game.fast_train import (compute_losses_fast,
+                                                    supports_fast)
+    use_fast = (supports_fast(modules.cfg) if fast == "auto" else bool(fast))
+    if use_fast and not supports_fast(modules.cfg):
+        raise ValueError("fast path not supported for attention configs")
+
+    def loss_fn(p, data, target, desc, key, desc_set_padded,
+                desc_set_mask, data_context, top_k, batch_denom):
+        if use_fast and desc_set_padded is None and data_context is None:
+            return compute_losses_fast(modules, p, data, target, desc,
+                                       key, top_k, batch_denom)
+        return compute_losses(modules, p, data, target, desc, key,
+                              desc_set_padded, desc_set_mask, data_context,
+                              top_k, batch_denom)
+
+    return loss_fn
+
+
+def make_train_step(modules: AgentModules, top_k: int, batch_denom: int,
+                    fast: Any = "auto"):
     """Build the jitted train step.
 
     Returns ``step(params, opt_states, data, target, desc, key,
@@ -163,17 +193,19 @@ def make_train_step(modules: AgentModules, top_k: int, batch_denom: int):
     -> (params, opt_states, TrainMetrics)``.
 
     Parameter and optimizer-state buffers are donated, so updates happen
-    in place on device.
+    in place on device. ``fast`` selects the batched-gradient path
+    (default "auto": on for non-attention configs).
     """
     cfg = modules.cfg
     tx = build_optimizer(cfg)
+    loss_fn = _loss_fn_for(modules, fast)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_states, data, target, desc, key,
              desc_set_padded=None, desc_set_mask=None, data_context=None):
         grads, metrics = jax.grad(
-            lambda p: compute_losses(
-                modules, p, data, target, desc, key, desc_set_padded,
+            lambda p: loss_fn(
+                p, data, target, desc, key, desc_set_padded,
                 desc_set_mask, data_context, top_k, batch_denom),
             has_aux=True)(params)
 
@@ -202,7 +234,7 @@ class ScanMetrics(NamedTuple):
 
 
 def make_multistep_train_step(modules: AgentModules, top_k: int,
-                              batch_denom: int):
+                              batch_denom: int, fast: Any = "auto"):
     """Device-side training loop: one compiled program runs K optimizer
     updates via ``lax.scan`` over K staged batches.
 
@@ -219,6 +251,7 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
     cfg = modules.cfg
     tx = build_optimizer(cfg)
     update_names = AGENT_NAMES if cfg.use_binary else ("receiver",)
+    loss_fn = _loss_fn_for(modules, fast)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def chunk(params, opt_states, data, target, desc, keys):
@@ -226,9 +259,8 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
             params, opt_states = carry
             b_data, b_target, key = xs
             grads, m = jax.grad(
-                lambda p: compute_losses(modules, p, b_data, b_target,
-                                         desc, key, None, None, None,
-                                         top_k, batch_denom),
+                lambda p: loss_fn(p, b_data, b_target, desc, key,
+                                  None, None, None, top_k, batch_denom),
                 has_aux=True)(params)
             new_params = dict(params)
             new_opts = dict(opt_states)

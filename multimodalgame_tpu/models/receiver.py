@@ -112,6 +112,12 @@ class Receiver(nn.Module):
                 jnp.dot(desc, k_desc, preferred_element_type=jnp.float32))
         return cache
 
+    def gru(self, z: jnp.ndarray, h_z: jnp.ndarray) -> jnp.ndarray:
+        """The bare recurrence ``h' = GRU(z, h)`` (model.py:340) — exposed
+        separately so the fast training path can rebuild the hidden-state
+        chain without the heads (game/fast_train.py)."""
+        return self.rnn(z, h_z)
+
     def step(self, z: jnp.ndarray, h_z: jnp.ndarray, cache: Dict[str, Any]
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One receiver turn.
@@ -125,9 +131,16 @@ class Receiver(nn.Module):
         Returns ``(h_z_new, s_logits, y, w_logits)`` with ``y`` shaped
         ``(B, D*out_dim)`` (``out_dim`` is 1 in every reference config).
         """
+        h_z_new = self.rnn(z, h_z)
+        s_logits, y, w_logits = self.heads(h_z_new, cache)
+        return h_z_new, s_logits, y, w_logits
+
+    def heads(self, h_z_new: jnp.ndarray, cache: Dict[str, Any]
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """STOP / prediction / query heads on an (already-updated) hidden
+        state — the non-recurrent part of a receiver turn."""
         desc = cache["desc"]
         num_desc = desc.shape[0]
-        h_z_new = self.rnn(z, h_z)
 
         s_logits = self.s(h_z_new)
 
@@ -175,4 +188,4 @@ class Receiver(nn.Module):
         h_w = jnp.tanh(self.w_h(h_z_new) + self.w_d(wd_inp))
         w_logits = self.w(h_w)
 
-        return h_z_new, s_logits, y, w_logits
+        return s_logits, y, w_logits

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodalgame_tpu.game.agents import AgentModules
-from multimodalgame_tpu.game.train import build_optimizer, compute_losses
+from multimodalgame_tpu.game.train import _loss_fn_for, build_optimizer
 
 import optax
 
@@ -58,7 +58,8 @@ def shard_batch(tree, mesh: Mesh):
 
 
 def make_sharded_train_step(modules: AgentModules, top_k: int,
-                            batch_denom: int, mesh: Mesh):
+                            batch_denom: int, mesh: Mesh,
+                            fast="auto"):
     """Data-parallel variant of ``game.train.make_train_step``.
 
     Same signature and semantics. Callers place inputs with
@@ -69,13 +70,14 @@ def make_sharded_train_step(modules: AgentModules, top_k: int,
     """
     cfg = modules.cfg
     tx = build_optimizer(cfg)
+    loss_fn = _loss_fn_for(modules, fast)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_states, data, target, desc, key,
              desc_set_padded=None, desc_set_mask=None, data_context=None):
         grads, metrics = jax.grad(
-            lambda p: compute_losses(
-                modules, p, data, target, desc, key, desc_set_padded,
+            lambda p: loss_fn(
+                p, data, target, desc, key, desc_set_padded,
                 desc_set_mask, data_context, top_k, batch_denom),
             has_aux=True)(params)
         new_params = dict(params)
