@@ -45,10 +45,38 @@ def supports_fast(cfg: GameConfig) -> bool:
     return not cfg.visual_attn and not cfg.desc_attn
 
 
+def _phase_a_pallas(modules: AgentModules, params, data, desc, key):
+    """Phase A via the fused Pallas sampler (ops/pallas_exchange.py):
+    one kernel launch for the whole sampled conversation, on-core PRNG
+    seeded from the JAX key."""
+    from multimodalgame_tpu.ops.pallas_exchange import fused_train_forward
+    cfg = modules.cfg
+    batch = data.shape[0]
+    seed = jax.random.randint(key, (), 0, jnp.int32(2 ** 31 - 1))
+    f = fused_train_forward(cfg, jax.tree_util.tree_map(stop_grad, params),
+                            data, desc, seed)
+    stop_masks = jnp.concatenate(
+        [jnp.ones((1, batch, 1), jnp.float32), f.masks], axis=0)
+    stop_masks = stop_masks.at[-1].set(0.0)
+    if cfg.fixed_exchange:
+        n_steps = jnp.asarray(cfg.max_exchange, jnp.int32)
+    else:
+        alive = jnp.sum(f.masks, axis=(1, 2)) > 0
+        n_steps = 1 + jnp.sum(alive[:-1].astype(jnp.int32))
+    return ExchangeOutputs(
+        stop_masks=stop_masks, stop_feats=f.stop_feats,
+        stop_probs=f.stop_probs, sen_feats=f.sen_feats,
+        sen_probs=f.sen_probs, rec_feats=f.rec_feats,
+        rec_probs=f.rec_probs, y=f.y,
+        bs=jnp.zeros_like(f.stop_feats), br=jnp.zeros_like(f.stop_feats),
+        n_steps=n_steps, attn_scores=None)
+
+
 def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
                         data: jnp.ndarray, target: jnp.ndarray,
                         desc: jnp.ndarray, key: jax.Array,
-                        top_k: int, batch_denom: int
+                        top_k: int, batch_denom: int,
+                        sampler: str = "scan"
                         ) -> Tuple[jnp.ndarray, TrainMetrics]:
     cfg = modules.cfg
     assert supports_fast(cfg)
@@ -56,8 +84,11 @@ def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
     batch = data.shape[0]
 
     # ---- Phase A: sampled conversation, gradient-free ----
-    frozen = jax.tree_util.tree_map(stop_grad, params)
-    ex = exchange(modules, frozen, data, desc, key, train=True)
+    if sampler == "pallas":
+        ex = _phase_a_pallas(modules, params, data, desc, key)
+    else:
+        frozen = jax.tree_util.tree_map(stop_grad, params)
+        ex = exchange(modules, frozen, data, desc, key, train=True)
     z_bits = stop_grad(ex.sen_feats)    # (T, B, W) post corruption/flip
     w_bits = stop_grad(ex.rec_feats)    # (T, B, W) post flip/ignore
     s_bits = stop_grad(ex.stop_feats)   # (T, B, 1)

@@ -54,9 +54,15 @@ def supports_config(cfg: GameConfig) -> bool:
                                           cfg.flipout_rec is not None)))
 
 
-def _kernel(cfg: GameConfig,
+def _uniform01(shape):
+    """Uniform [0,1) floats from the per-core PRNG (24-bit mantissa)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _kernel(cfg: GameConfig, train: bool,
             # inputs
-            data_ref, desc_ref, corrupt_ref,
+            seed_ref, data_ref, desc_ref, corrupt_ref,
             s_wimg, s_bimg, s_wcode, s_bcode, s_cbias, s_wbin, s_bbin,
             r_wih, r_whh, r_bih, r_bhh,
             r_y1h, r_y1d, r_y1b, r_y2k, r_y2b,
@@ -68,8 +74,14 @@ def _kernel(cfg: GameConfig,
     batch = data_ref.shape[0]
     hid = r_whh.shape[0]
 
+    if train:
+        pltpu.prng_seed(seed_ref[0])
+
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def sample(probs):
+        return (_uniform01(probs.shape) < probs).astype(jnp.float32)
 
     # Conversation-invariant projections (sender image path; the y1
     # description block — game/receiver.py's precompute, done in-kernel).
@@ -98,7 +110,12 @@ def _kernel(cfg: GameConfig,
             mixed = jnp.tanh(h_x + h_w)
         z_logits = dot(mixed, s_wbin[:]) + s_bbin[:]
         z_probs = jax.nn.sigmoid(z_logits)
-        z = jnp.floor(z_probs + 0.5)
+        if train:
+            z = sample(z_probs)
+            if cfg.flipout_sen is not None:
+                z = jnp.abs(z - sample(jnp.full_like(z, cfg.flipout_sen)))
+        else:
+            z = jnp.floor(z_probs + 0.5)
         z = jnp.abs(z - corrupt_ref[:])  # bit-flip corruption (or zeros)
 
         # --- Receiver GRU (models/gru.py; torch gate order [r|z|n]) ---
@@ -111,13 +128,17 @@ def _kernel(cfg: GameConfig,
         ng = jnp.tanh(i_n + rg * h_n)
         h_z = (1.0 - zg) * ng + zg * h_z
 
-        # --- STOP bit: cumulative product rule (model.py:414-429) ---
+        # --- STOP bit: sampled in train; cumulative product rule in eval
+        # (model.py:414-429) ---
         s_prob = jax.nn.sigmoid(dot(h_z, r_sk[:]) + r_sb[:])
-        if cfg.s_prob_prod:
-            sprod = s_prob if t == 0 else sprod * s_prob
+        if train:
+            s_bit = sample(s_prob)
         else:
-            sprod = s_prob
-        s_bit = jnp.floor(sprod + 0.5)
+            if cfg.s_prob_prod:
+                sprod = s_prob if t == 0 else sprod * s_prob
+            else:
+                sprod = s_prob
+            s_bit = jnp.floor(sprod + 0.5)
 
         # --- Prediction head (split-y1 redesign, models/receiver.py) ---
         y_hid = jax.nn.relu(dot(h_z, r_y1h[:])[:, None, :]
@@ -133,7 +154,14 @@ def _kernel(cfg: GameConfig,
         h_wq = jnp.tanh(dot(h_z, r_whk[:]) + r_whb[:] + dot(wd, r_wdk[:]))
         w_logits = dot(h_wq, r_wk[:]) + r_wb[:]
         w_probs = jax.nn.sigmoid(w_logits)
-        w_bits = jnp.floor(w_probs + 0.5)
+        if train:
+            w_bits = sample(w_probs)
+            if cfg.flipout_rec is not None:
+                w_bits = jnp.abs(
+                    w_bits - sample(jnp.full_like(w_bits,
+                                                  cfg.flipout_rec)))
+        else:
+            w_bits = jnp.floor(w_probs + 0.5)
         if cfg.ignore_receiver:
             w_bits = jnp.zeros_like(w_bits)
 
@@ -150,15 +178,10 @@ def _kernel(cfg: GameConfig,
         w_prev = w_bits
 
 
-def fused_eval_exchange(cfg: GameConfig, params: Dict[str, Any],
-                        data: jnp.ndarray, desc: jnp.ndarray,
-                        corrupt_mask: Optional[jnp.ndarray] = None,
-                        interpret: bool = False) -> FusedEvalOutputs:
-    """Run the whole eval conversation in one Pallas kernel.
-
-    Bit-exact (modulo matmul rounding) with the lax.scan exchange in eval
-    mode; see tests/test_pallas.py.
-    """
+def _fused_call(cfg: GameConfig, params: Dict[str, Any],
+                data: jnp.ndarray, desc: jnp.ndarray, train: bool,
+                seed, corrupt_mask: Optional[jnp.ndarray],
+                interpret: bool) -> FusedEvalOutputs:
     assert supports_config(cfg), "config not supported by the fused kernel"
     sen = params["sender"]
     rec = params["receiver"]
@@ -171,6 +194,8 @@ def fused_eval_exchange(cfg: GameConfig, params: Dict[str, Any],
         corrupt = jnp.zeros((1, W), jnp.float32)
     else:
         corrupt = jnp.asarray(corrupt_mask, jnp.float32).reshape(1, W)
+    seed_arr = jnp.asarray([seed], jnp.int32) if train else \
+        jnp.zeros((1,), jnp.int32)
 
     out_shape = (
         jax.ShapeDtypeStruct((T, batch, 1), jnp.float32),      # s_feat
@@ -185,7 +210,7 @@ def fused_eval_exchange(cfg: GameConfig, params: Dict[str, Any],
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
 
     inputs = (
-        data, desc, corrupt,
+        seed_arr, data, desc, corrupt,
         sen["image_layer"]["kernel"], sen["image_layer"]["bias"],
         sen["code_layer"]["kernel"], sen["code_layer"]["bias"],
         sen["code_bias"],
@@ -202,11 +227,40 @@ def fused_eval_exchange(cfg: GameConfig, params: Dict[str, Any],
         rec["w"]["kernel"], rec["w"]["bias"],
     )
 
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [vmem() for _ in inputs[1:]])
     outs = pl.pallas_call(
-        functools.partial(_kernel, cfg),
+        functools.partial(_kernel, cfg, train),
         out_shape=out_shape,
-        in_specs=[vmem() for _ in inputs],
+        in_specs=in_specs,
         out_specs=tuple(vmem() for _ in out_shape),
         interpret=interpret,
     )(*inputs)
     return FusedEvalOutputs(*outs)
+
+
+def fused_eval_exchange(cfg: GameConfig, params: Dict[str, Any],
+                        data: jnp.ndarray, desc: jnp.ndarray,
+                        corrupt_mask: Optional[jnp.ndarray] = None,
+                        interpret: bool = False) -> FusedEvalOutputs:
+    """Run the whole eval conversation in one Pallas kernel.
+
+    Bit-exact (modulo matmul rounding) with the lax.scan exchange in eval
+    mode; see tests/test_pallas.py.
+    """
+    return _fused_call(cfg, params, data, desc, False, 0, corrupt_mask,
+                       interpret)
+
+
+def fused_train_forward(cfg: GameConfig, params: Dict[str, Any],
+                        data: jnp.ndarray, desc: jnp.ndarray, seed,
+                        interpret: bool = False) -> FusedEvalOutputs:
+    """Sampled (train-mode) conversation in one Pallas kernel using the
+    on-core PRNG — the gradient-free phase A of the fast training path
+    (game/fast_train.py). The RNG stream differs from ``jax.random`` (the
+    bits are an equally valid Monte-Carlo sample; determinism is per
+    ``seed``). Flipout noise is applied in-kernel; eval-only channel
+    corruption is not (the reference only corrupts at eval,
+    model.py:636-638)."""
+    return _fused_call(cfg, params, data, desc, True, seed, None,
+                       interpret)
