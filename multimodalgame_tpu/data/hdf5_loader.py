@@ -71,18 +71,32 @@ def load_hdf5(hdf5_file: str, batch_size: int, random_seed: int,
             yield batch
 
 
-def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+def prefetch(iterator: Iterator, depth: int = 2,
+             to_device: bool = False) -> Iterator:
     """Run ``iterator`` on a background thread with a bounded queue so host
     HDF5 reads overlap device compute. New capability over the reference's
     synchronous loader (misc.py:284: blocking per-batch reads on the hot
-    path, SURVEY §3.1)."""
+    path, SURVEY §3.1).
+
+    ``to_device=True`` additionally stages each batch's arrays onto the
+    default device from the worker thread (async H2D), so the training
+    loop never blocks on transfers.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+
+    def stage(item):
+        if not to_device:
+            return item
+        import jax
+        return {k: (jax.device_put(v) if isinstance(v, np.ndarray)
+                    and v.dtype.kind in "fiu" else v)
+                for k, v in item.items()}
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                q.put(stage(item))
         finally:
             q.put(_END)
 

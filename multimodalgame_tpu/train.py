@@ -200,7 +200,8 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
         if flags.images == "mammal":
             dataloader = prefetch(load_hdf5(
                 flags.train_file, flags.batch_size, epoch,
-                flags.shuffle_train, map_labels=desc_train.map_labels))
+                flags.shuffle_train, map_labels=desc_train.map_labels),
+                to_device=True)
         elif flags.images == "cifar":
             from multimodalgame_tpu.data.cifar import load_cifar
             dataloader = load_cifar(flags.batch_size, epoch)
