@@ -27,7 +27,7 @@ Design deviations (documented):
 from __future__ import annotations
 
 import string
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 

@@ -11,7 +11,7 @@ exercise the same code paths as production data.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import h5py
 import numpy as np

@@ -8,7 +8,7 @@ networks, each with its own parameter tree so the four-optimizer update
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,6 +14,14 @@ channel, no visual/description attention, no eval-time flipout. The
 exchange engine automatically falls back to the lax.scan path otherwise
 (see ``supports_config`` and game/train.py's ``make_eval_exchange``).
 
+Numerical note: against the lax.scan path the kernel is bit-exact under
+exact-f32 matmuls (interpret mode, or TPU with
+``jax_default_matmul_precision='highest'``). At the TPU's default matmul
+precision the two implementations round differently, and because sampled
+bits feed back into the conversation a probability that lands on the
+0.5 threshold can flip a bit and let trajectories diverge — both remain
+valid implementations of the same eval semantics.
+
 Layout notes (pallas_guide): batch 64 rows fill f32 sublanes exactly;
 message (32), hidden (64/256), and class (30) dims are each a single
 128-lane tile, so all VPU ops are one-tile wide and the two big matmuls
@@ -55,9 +63,12 @@ def supports_config(cfg: GameConfig) -> bool:
 
 
 def _uniform01(shape):
-    """Uniform [0,1) floats from the per-core PRNG (24-bit mantissa)."""
+    """Uniform [0,1) floats from the per-core PRNG (24-bit mantissa).
+    Mosaic has no uint32->f32 cast, so shift down to 24 bits (which fit
+    exactly) and route through int32."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+    small = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return small.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
 def _kernel(cfg: GameConfig, train: bool,

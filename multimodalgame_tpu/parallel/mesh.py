@@ -19,7 +19,7 @@ tests/test_parallel.py).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -16,7 +16,6 @@ CLI: ``python -m multimodalgame_tpu.serve -checkpoint <path> -log_load
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 from typing import Dict, Optional

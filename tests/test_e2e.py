@@ -92,6 +92,26 @@ def test_train_eval_extract_cycle(synthetic_dataset, tmp_path):
             "Predictions", "StopProb", "StopVec", "StopMask"}
 
 
+def test_eval_with_channel_corruption(synthetic_dataset, tmp_path):
+    """Adversarial eval-time bit flipping (-bit_flip -corrupt_region,
+    model.py:636-638, 814-820) runs end-to-end and degrades or alters
+    the conversation record."""
+    paths = synthetic_dataset
+    flags = _flags(paths, tmp_path)
+    run(flags, max_steps=5)
+    flags2 = _flags(paths, tmp_path,
+                    extra=["-eval_only", "-bit_flip",
+                           "-corrupt_region", "0:4"])
+    out_corrupt = run(flags2)
+    flags3 = _flags(paths, tmp_path, extra=["-eval_only"])
+    out_clean = run(flags3)
+    assert 0.0 <= out_corrupt["dev_acc"] <= 1.0
+    # Statistics exist for both runs; the corrupted channel typically
+    # changes sender-message Hamming statistics.
+    assert "hamming_sen_mean" in out_corrupt["extra"]
+    assert "hamming_sen_mean" in out_clean["extra"]
+
+
 def test_resume_from_checkpoint(synthetic_dataset, tmp_path):
     paths = synthetic_dataset
     flags = _flags(paths, tmp_path)
