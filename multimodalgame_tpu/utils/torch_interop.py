@@ -111,7 +111,7 @@ def save_reference_checkpoint(path: str, data: Dict[str, Any],
     payload = {
         "data": dict(data),
         "models": {_REF_NAMES[k]: {kk: torch.from_numpy(
-            np.ascontiguousarray(vv)) for kk, vv in v.items()}
+            np.ascontiguousarray(vv).copy()) for kk, vv in v.items()}
             for k, v in state.items()},
         "optimizers": {k: {} for k in _REF_NAMES.values()},
     }
