@@ -42,7 +42,10 @@ stop_grad = jax.lax.stop_gradient
 
 
 def supports_fast(cfg: GameConfig) -> bool:
-    return not cfg.visual_attn and not cfg.desc_attn
+    """All game configurations: even with visual/description attention the
+    sender turn and every receiver head are pure functions of (detached
+    query, hidden state), so they batch over T; only the GRU recurs."""
+    return True
 
 
 def _phase_a_pallas(modules: AgentModules, params, data, desc, key):
@@ -76,19 +79,25 @@ def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
                         data: jnp.ndarray, target: jnp.ndarray,
                         desc: jnp.ndarray, key: jax.Array,
                         top_k: int, batch_denom: int,
-                        sampler: str = "scan"
+                        sampler: str = "scan",
+                        desc_set_padded=None, desc_set_mask=None,
+                        data_context=None
                         ) -> Tuple[jnp.ndarray, TrainMetrics]:
     cfg = modules.cfg
-    assert supports_fast(cfg)
     T = cfg.max_exchange
     batch = data.shape[0]
 
     # ---- Phase A: sampled conversation, gradient-free ----
     if sampler == "pallas":
+        assert desc_set_padded is None and data_context is None, \
+            "the pallas sampler covers non-attention configs only"
         ex = _phase_a_pallas(modules, params, data, desc, key)
     else:
         frozen = jax.tree_util.tree_map(stop_grad, params)
-        ex = exchange(modules, frozen, data, desc, key, train=True)
+        ex = exchange(modules, frozen, data, desc, key, train=True,
+                      desc_set_padded=desc_set_padded,
+                      desc_set_mask=desc_set_mask,
+                      data_context=data_context)
     z_bits = stop_grad(ex.sen_feats)    # (T, B, W) post corruption/flip
     w_bits = stop_grad(ex.rec_feats)    # (T, B, W) post flip/ignore
     s_bits = stop_grad(ex.stop_feats)   # (T, B, 1)
@@ -107,12 +116,14 @@ def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
         return modules.receiver.apply({"params": params["receiver"]}, *a,
                                       method=method)
 
-    sen_cache = sen_apply("precompute", data, None)
-    rec_cache = rec_apply("precompute", desc, None, None)
+    sen_cache = sen_apply("precompute", data, data_context)
+    rec_cache = rec_apply("precompute", desc, desc_set_padded,
+                          desc_set_mask)
 
     # Sender turns: batched over T (data is closed over, so its projection
-    # is computed once; the t==0 code-bias select is vmapped).
-    z_logits, h_x, _ = jax.vmap(
+    # is computed once; the t==0 code-bias select and attention are
+    # vmapped).
+    z_logits, h_x, attn = jax.vmap(
         lambda w, t: sen_apply("step", data, w, t, sen_cache))(
         w_prev, jnp.arange(T))
     if cfg.use_binary:
@@ -148,5 +159,5 @@ def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
         stop_masks=ex.stop_masks, stop_feats=s_bits, stop_probs=s_probs,
         sen_feats=z_bits, sen_probs=z_probs, rec_feats=w_bits,
         rec_probs=w_probs, y=y, bs=bs, br=br, n_steps=ex.n_steps,
-        attn_scores=None)
+        attn_scores=attn)
     return losses_from_exchange(cfg, ex_out, target, top_k, batch_denom)

@@ -164,22 +164,24 @@ def losses_from_exchange(cfg, ex: ExchangeOutputs, target: jnp.ndarray,
 
 def _loss_fn_for(modules: AgentModules, fast: Any):
     """Select the loss computation: the fast batched-recompute path
-    (game/fast_train.py) when eligible, else the reference scan path.
+    (game/fast_train.py, all configs) or the reference scan path.
     ``fast`` is True/False/"auto"/"pallas" ("pallas" additionally runs
-    the sampling phase as one fused kernel — TPU only)."""
+    the sampling phase as one fused kernel — TPU only, non-attention
+    configs)."""
     from multimodalgame_tpu.game.fast_train import (compute_losses_fast,
                                                     supports_fast)
     sampler = "pallas" if fast == "pallas" else "scan"
     use_fast = (supports_fast(modules.cfg) if fast == "auto" else bool(fast))
-    if use_fast and not supports_fast(modules.cfg):
-        raise ValueError("fast path not supported for attention configs")
 
     def loss_fn(p, data, target, desc, key, desc_set_padded,
                 desc_set_mask, data_context, top_k, batch_denom):
-        if use_fast and desc_set_padded is None and data_context is None:
+        if use_fast:
             return compute_losses_fast(modules, p, data, target, desc,
                                        key, top_k, batch_denom,
-                                       sampler=sampler)
+                                       sampler=sampler,
+                                       desc_set_padded=desc_set_padded,
+                                       desc_set_mask=desc_set_mask,
+                                       data_context=data_context)
         return compute_losses(modules, p, data, target, desc, key,
                               desc_set_padded, desc_set_mask, data_context,
                               top_k, batch_denom)

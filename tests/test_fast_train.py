@@ -25,33 +25,52 @@ def _setup(**kw):
     base.update(kw)
     cfg = GameConfig(**base)
     mods = AgentModules(cfg)
-    params = init_params(mods, jax.random.PRNGKey(0), num_classes=D)
+    params = init_params(mods, jax.random.PRNGKey(0), num_classes=D,
+                         max_words=4)
     rng = np.random.RandomState(0)
-    data = jnp.asarray(rng.randn(B, FEAT), jnp.float32)
+    if cfg.visual_attn:
+        data = jnp.asarray(rng.randn(B, FEAT, 4, 4), jnp.float32)
+    else:
+        data = jnp.asarray(rng.randn(B, FEAT), jnp.float32)
     desc = jnp.asarray(rng.randn(D, WV), jnp.float32)
     target = jnp.asarray(rng.randint(0, D, size=B))
-    return cfg, mods, params, data, desc, target
+    kwargs = {}
+    if cfg.desc_attn:
+        kwargs["desc_set_padded"] = jnp.asarray(
+            rng.randn(D, 4, WV), jnp.float32)
+        kwargs["desc_set_mask"] = jnp.asarray(
+            (rng.rand(D, 4) < 0.8), jnp.float32).at[:, 0].set(1.0)
+    if cfg.attn_extra_context:
+        kwargs["data_context"] = jnp.asarray(rng.randn(B, 10), jnp.float32)
+    return cfg, mods, params, data, desc, target, kwargs
 
 
 VARIANTS = [dict(), dict(fixed_exchange=True), dict(sender_mix="prod"),
             dict(sender_mix="mou"), dict(ignore_code=True),
             dict(ignore_receiver=True), dict(use_binary=False),
-            dict(flipout_sen=0.1, flipout_rec=0.1), dict(max_exchange=1)]
+            dict(flipout_sen=0.1, flipout_rec=0.1), dict(max_exchange=1),
+            dict(visual_attn=True),
+            dict(visual_attn=True, attn_extra_context=True,
+                 attn_context_dim=10),
+            dict(desc_attn=True, desc_attn_dim=8)]
 
 
 @pytest.mark.parametrize("kw", VARIANTS,
                          ids=[str(sorted(v.items())) for v in VARIANTS])
 def test_losses_and_grads_match(kw):
-    cfg, mods, params, data, desc, target = _setup(**kw)
+    cfg, mods, params, data, desc, target, kwargs = _setup(**kw)
     assert supports_fast(cfg)
     key = jax.random.PRNGKey(3)
 
     def ref(p):
         return compute_losses(mods, p, data, target, desc, key,
-                              None, None, None, 2, B)
+                              kwargs.get("desc_set_padded"),
+                              kwargs.get("desc_set_mask"),
+                              kwargs.get("data_context"), 2, B)
 
     def fast(p):
-        return compute_losses_fast(mods, p, data, target, desc, key, 2, B)
+        return compute_losses_fast(mods, p, data, target, desc, key, 2, B,
+                                   **kwargs)
 
     (l_ref, m_ref), g_ref = jax.value_and_grad(ref, has_aux=True)(params)
     (l_fast, m_fast), g_fast = jax.value_and_grad(fast, has_aux=True)(params)
@@ -78,6 +97,6 @@ def test_losses_and_grads_match(kw):
             err_msg=jax.tree_util.keystr(pa))
 
 
-def test_attention_configs_not_supported():
-    assert not supports_fast(GameConfig(visual_attn=True))
-    assert not supports_fast(GameConfig(desc_attn=True))
+def test_all_configs_supported():
+    assert supports_fast(GameConfig(visual_attn=True))
+    assert supports_fast(GameConfig(desc_attn=True))
