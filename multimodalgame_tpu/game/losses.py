@@ -189,10 +189,13 @@ def nll_loss(log_probs: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 def topk_accuracy(dist: jnp.ndarray, target: jnp.ndarray, k: int,
                   denom: int) -> jnp.ndarray:
-    """Top-k accuracy with the reference's argsort convention
-    (model.py:1332-1338): count targets appearing in the k highest-scoring
-    classes, divided by the *configured* batch size (``denom``), which the
-    reference also uses for truncated final eval batches (model.py:667)."""
-    top_k_ind = jnp.argsort(dist, axis=1)[:, -k:]
+    """Top-k accuracy (reference model.py:1332-1338): count targets
+    appearing in the k highest-scoring classes, divided by the
+    *configured* batch size (``denom``), which the reference also uses
+    for truncated final eval batches (model.py:667).
+
+    Uses ``lax.top_k`` (a k-selection) rather than the reference's full
+    argsort — same membership semantics, far cheaper on TPU."""
+    _, top_k_ind = jax.lax.top_k(dist, k)
     hits = jnp.sum(top_k_ind == target.reshape(-1, 1))
     return hits / denom
