@@ -92,6 +92,37 @@ def test_train_eval_extract_cycle(synthetic_dataset, tmp_path):
             "Predictions", "StopProb", "StopVec", "StopMask"}
 
 
+def test_attention_preset_e2e(synthetic_dataset, tmp_path):
+    """FixedAttention preset (visual attention over layer4_2 + fc
+    context, model.py:1619-1626) trains and evaluates through the full
+    driver."""
+    paths = synthetic_dataset
+    f = make_flags()
+    argv = [
+        "-experiment_name", "attn", "-model_type", "FixedAttention",
+        "-log_path", str(tmp_path / "logs"),
+        "-batch_size", "8", "-batch_size_dev", "8",
+        "-rec_w_dim", "8", "-sender_out_dim", "8",
+        "-img_h_dim", "16", "-rec_hidden", "16", "-baseline_hid_dim", "16",
+        "-attn_dim", "16",
+        "-max_exchange", "2", "-max_epoch", "1",
+        "-top_k_dev", "2", "-top_k_train", "2",
+        "-descr_train", paths["descr"], "-descr_dev", paths["descr"],
+        "-train_file", paths["train"], "-dev_file", paths["dev"],
+        "-wv_dim", "16", "-glove_path", paths["glove"],
+        "-log_interval", "100", "-log_dev", "100",
+        "-save_after", "100", "-save_interval", "100",
+        "-exchange_samples", "0",
+    ]
+    parse_args(f, argv)
+    finalize_flags(f, argv)
+    assert f.img_feat == "layer4_2" and f.attn_extra_context
+    os.makedirs(f.log_path, exist_ok=True)
+    result = run(f, max_steps=3)
+    assert result["step"] == 3
+    assert "Development Accuracy" in open(f.log_file).read()
+
+
 def test_eval_with_channel_corruption(synthetic_dataset, tmp_path):
     """Adversarial eval-time bit flipping (-bit_flip -corrupt_region,
     model.py:636-638, 814-820) runs end-to-end and degrades or alters
