@@ -250,8 +250,9 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
     (SURVEY §3.1); the single-step path pays one per update; this path
     pays one per K updates.
 
-    Returns ``chunk(params, opt_states, data (K,B,F), target (K,B), desc,
-    keys (K,key)) -> (params, opt_states, ScanMetrics)``.
+    Returns ``chunk(params, opt_states, data (K,B,...), target (K,B),
+    desc, keys (K,key), desc_set_padded=None, desc_set_mask=None,
+    data_context=None (K,B,C)) -> (params, opt_states, ScanMetrics)``.
     """
     cfg = modules.cfg
     tx = build_optimizer(cfg)
@@ -259,13 +260,15 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
     loss_fn = _loss_fn_for(modules, fast)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def chunk(params, opt_states, data, target, desc, keys):
+    def chunk(params, opt_states, data, target, desc, keys,
+              desc_set_padded=None, desc_set_mask=None, data_context=None):
         def body(carry, xs):
             params, opt_states = carry
-            b_data, b_target, key = xs
+            b_data, b_target, key, b_ctx = xs
             grads, m = jax.grad(
                 lambda p: loss_fn(p, b_data, b_target, desc, key,
-                                  None, None, None, top_k, batch_denom),
+                                  desc_set_padded, desc_set_mask, b_ctx,
+                                  top_k, batch_denom),
                 has_aux=True)(params)
             new_params = dict(params)
             new_opts = dict(opt_states)
@@ -277,8 +280,8 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
                               m.loss_bas_rec, m.loss_bas_sen, m.accuracy)
             return (new_params, new_opts), out
 
-        (p, o), metrics = jax.lax.scan(body, (params, opt_states),
-                                       (data, target, keys))
+        xs = (data, target, keys, data_context)
+        (p, o), metrics = jax.lax.scan(body, (params, opt_states), xs)
         return p, o, metrics
 
     return chunk
