@@ -116,6 +116,11 @@ def _registry() -> Dict[str, FlagDef]:
     # selected GPU execution; here it is accepted for CLI compatibility but
     # device placement is owned by JAX/XLA (TPU by default).
     define("cuda", "boolean", False)
+    # TPU-native extension (no reference counterpart): the chunked
+    # device-side training driver (game/driver.py) — stages the dataset in
+    # HBM and runs whole log windows as single compiled programs. Disable
+    # with -nofast_driver to fall back to the per-batch host loop.
+    define("fast_driver", "boolean", True)
 
     # Display settings (model.py:1665-1670)
     define("env", "string", "main")

@@ -1,0 +1,105 @@
+"""Device-resident dataset: stage features once, index on device.
+
+Motivation (measured, PERFORMANCE.md): the axon tunnel moves host->device
+data at ~30 MB/s with ~30 ms latency per transfer — per-batch staging of a
+64x512 feature batch costs more than the train step it feeds. The game's
+datasets are small (30 classes x 100 examples: 6 MB of ``avgpool_512``,
+393 MB of ``layer4_2``), so the whole feature set is pushed to HBM *once*
+and every batch is a device-side gather driven by a tiny ``(K, B)`` index
+array computed on host.
+
+Shuffle parity: :meth:`epoch_indices` reproduces the reference loader's
+ordering exactly (``random.seed(11 + epoch)`` + ``random.shuffle`` over
+``range(N)``, fixed-size batches, ascending in-batch indices — reference
+misc.py:269-284); a permutation-parity test pins it against
+``data/hdf5_loader.py`` which pins it against the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Callable, Dict, Optional
+
+import h5py
+import numpy as np
+
+# Refuse to stage datasets beyond this size (bytes) — at that point a
+# streaming loader is the right tool and silent HBM exhaustion is not.
+DEFAULT_LIMIT_BYTES = int(os.environ.get("MMG_DEVICE_DATA_LIMIT",
+                                         4 * 1024 ** 3))
+
+
+def _squeeze_keep_batch(a: np.ndarray) -> np.ndarray:
+    keep = [a.shape[0]] + [s for s in a.shape[1:] if s != 1]
+    return a.reshape(keep)
+
+
+class DeviceDataset:
+    """Features + mapped labels staged on the default device.
+
+    Attributes:
+        feats: ``(N, ...)`` device array of the selected image features.
+        context: optional ``(N, C)`` device array (``attn_extra_context``).
+        targets: ``(N,)`` int32 device array of *mapped* labels.
+        targets_host: host copy of ``targets`` (for log lines — avoids a
+            device read just to print the targets row).
+        size: N.
+    """
+
+    def __init__(self, feats, targets_host: np.ndarray,
+                 context=None):
+        import jax
+        import jax.numpy as jnp
+        self.size = int(feats.shape[0])
+        self.targets_host = np.asarray(targets_host, dtype=np.int32)
+        self.feats = jax.device_put(jnp.asarray(feats, jnp.float32))
+        self.targets = jax.device_put(jnp.asarray(self.targets_host))
+        self.context = (jax.device_put(jnp.asarray(context, jnp.float32))
+                        if context is not None else None)
+
+    @classmethod
+    def from_hdf5(cls, hdf5_file: str, feat_key: str,
+                  map_labels: Callable[[int], int] = int,
+                  context_key: Optional[str] = None,
+                  limit_bytes: int = DEFAULT_LIMIT_BYTES) -> "DeviceDataset":
+        """Load an entire feature file (reference schema,
+        utils/package_data.py:238-243) and stage it."""
+        path = os.path.expanduser(hdf5_file)
+        with h5py.File(path, "r") as f:
+            targets = np.asarray(
+                [map_labels(int(t)) for t in np.asarray(f["Target"])],
+                dtype=np.int32)
+            feats = _squeeze_keep_batch(
+                np.asarray(f[feat_key], dtype=np.float32))
+            context = None
+            if context_key is not None:
+                context = _squeeze_keep_batch(
+                    np.asarray(f[context_key], dtype=np.float32))
+        nbytes = feats.nbytes + (context.nbytes if context is not None else 0)
+        if nbytes > limit_bytes:
+            raise MemoryError(
+                f"dataset {hdf5_file} is {nbytes / 1e9:.1f} GB — beyond the "
+                f"device-staging limit ({limit_bytes / 1e9:.1f} GB); raise "
+                "MMG_DEVICE_DATA_LIMIT or shard the file")
+        return cls(feats, targets, context)
+
+    def epoch_indices(self, epoch: int, shuffle: bool, batch_size: int,
+                      truncate_final_batch: bool = False) -> np.ndarray:
+        """The epoch's batch plan: an ``(nb, B)`` int32 index array with the
+        reference loader's exact semantics (misc.py:269-284).
+
+        With ``truncate_final_batch`` the ragged tail is returned too,
+        padded with -1 (callers slice it off; training never truncates,
+        matching the reference's ``num_batches = N // B``)."""
+        order = list(range(self.size))
+        if shuffle:
+            random.seed(11 + epoch)
+            random.shuffle(order)
+        nb = self.size // batch_size
+        rows = [sorted(order[i * batch_size:(i + 1) * batch_size])
+                for i in range(nb)]
+        if truncate_final_batch and self.size - nb * batch_size > 0:
+            tail = sorted(order[nb * batch_size:])
+            rows.append(tail + [-1] * (batch_size - len(tail)))
+        return np.asarray(rows, dtype=np.int32)

@@ -1,0 +1,354 @@
+"""Chunked device-side training driver — the product path for the
+benchmark throughput.
+
+The legacy loop in train.py reproduces the reference's per-batch host
+loop (model.py:1218-1330): one jit dispatch per optimizer update plus a
+host sync to read the accuracy. Behind the axon tunnel each round trip is
+~30 ms, capping it near ~30 steps/s no matter how fast the chip is. This
+driver removes every per-step host interaction:
+
+* the whole dataset lives in HBM (data/device_dataset.py) — batches are
+  device-side gathers driven by a host-computed ``(K, B)`` index plan;
+* steps between host-visible boundaries (log/dev/checkpoint cadences,
+  reference model.py:1341-1584) run as compiled K-step chunks
+  (game/train.py:make_multistep_train_step_indexed), K decomposed into
+  powers of two to bound the number of compilations;
+* a boundary step runs with full metrics and everything its log window
+  prints — losses, entropies, argmax, both sparkline conversation dumps —
+  is packed into ONE flat vector on device (game/logpack.py) and fetched
+  with a single transfer;
+* dev evaluation is one compiled sweep over the staged dev set
+  (game/fast_eval.py) returning one packed statistics vector.
+
+Log-artifact parity with the legacy driver (and hence with the reference's
+``run()``) is pinned by tests/test_driver.py; the two drivers differ only
+in their PRNG schedule (documented in PARITY.md) and host-sync pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalgame_tpu.data.device_dataset import DeviceDataset
+from multimodalgame_tpu.game.fast_eval import eval_dev_device
+from multimodalgame_tpu.game.logpack import LogPacker
+from multimodalgame_tpu.game.masks import build_mask
+from multimodalgame_tpu.game.train import (make_multistep_train_step_indexed,
+                                           make_train_step_indexed)
+from multimodalgame_tpu.utils.checkpoint import save_checkpoint
+from multimodalgame_tpu.utils.profiling import StepTimer
+
+# Chunk sizes are drawn from this fixed set so the number of distinct
+# compiled programs is bounded by its length, not by the flag values.
+_POW2 = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+
+
+def decompose_chunks(k: int) -> list:
+    """Greedy power-of-two decomposition of a chunk of ``k`` steps."""
+    out = []
+    for p in _POW2:
+        while k >= p:
+            out.append(p)
+            k -= p
+    return out
+
+
+def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
+             flogger, logger, eval_exchange, step: int = 0,
+             best_dev_acc: float = 0.0,
+             max_steps: Optional[int] = None) -> dict:
+    """Train with the chunked device-side schedule; returns the same
+    summary dict as the legacy loop in train.py."""
+    from multimodalgame_tpu.train import format_exchange_log
+
+    cfg = modules.cfg
+    ctx_key = flags.data_context if flags.attn_extra_context else None
+    train_ds = DeviceDataset.from_hdf5(flags.train_file, flags.img_feat,
+                                       map_labels=desc_train.map_labels,
+                                       context_key=ctx_key)
+    dev_ds = DeviceDataset.from_hdf5(flags.dev_file, flags.img_feat,
+                                     map_labels=desc_dev.map_labels,
+                                     context_key=ctx_key)
+
+    desc_j = jnp.asarray(desc_train.desc)
+    padded_j = (jnp.asarray(desc_train.desc_set_padded)
+                if cfg.desc_attn else None)
+    pmask_j = (jnp.asarray(desc_train.desc_set_mask)
+               if cfg.desc_attn else None)
+    desc_dev_j = jnp.asarray(desc_dev.desc)
+    dpadded_j = (jnp.asarray(desc_dev.desc_set_padded)
+                 if cfg.desc_attn else None)
+    dpmask_j = (jnp.asarray(desc_dev.desc_set_mask)
+                if cfg.desc_attn else None)
+
+    corrupt = None
+    if flags.bit_flip and flags.corrupt_region:
+        corrupt = jnp.asarray(build_mask(flags.corrupt_region, cfg.rec_w_dim))
+
+    full_step = make_train_step_indexed(modules, flags.top_k_train,
+                                        flags.batch_size)
+    chunk_step = make_multistep_train_step_indexed(modules,
+                                                   flags.top_k_train,
+                                                   flags.batch_size)
+    packer = LogPacker(cfg, flags.batch_size, flags.exchange_samples)
+
+    L = flags.log_interval
+    D = flags.log_dev
+
+    def is_log(t):
+        return t % L == 0
+
+    def is_dev(t):
+        return t % D == 0
+
+    def is_save(t):
+        return t >= flags.save_after and t % flags.save_interval == 0
+
+    key = jax.random.PRNGKey(1)
+    batch_accuracy = []   # host floats, one per optimizer step, in order
+    pending_acc = []      # device accuracy arrays not yet fetched
+    dev_accuracy = []
+    timer = StepTimer()
+    epoch = 0
+    done = False
+
+    def flush_acc():
+        for a in pending_acc:
+            batch_accuracy.extend(
+                np.asarray(a, dtype=np.float64).reshape(-1).tolist())
+        pending_acc.clear()
+
+    def log_window(t, i_batch, host, epoch):
+        """Emit the interval-log block from the unpacked payload
+        (reference model.py:1341-1542; same lines as the legacy loop)."""
+        avg_batch_acc = float(np.asarray(
+            batch_accuracy[-flags.log_interval:]).mean())
+        prefix = "Epoch: {} Step: {} Batch: {} ".format(epoch, t, i_batch)
+        flogger.Log(prefix + "Training Accuracy: {}".format(avg_batch_acc))
+        flogger.Log(prefix + "Loss Sender: {}".format(
+            float(host["loss_sen"])))
+        flogger.Log(prefix + "Loss Receiver (Y): {}".format(
+            float(host["nll_loss"])))
+        if flags.use_binary:
+            flogger.Log(prefix + "Loss Receiver (Z): {}".format(
+                float(host["loss_binary_rec"])))
+            if not flags.fixed_exchange:
+                flogger.Log(prefix + "Loss Receiver (S): {}".format(
+                    float(host["loss_binary_s"])))
+            flogger.Log(prefix + "Loss Baseline (S): {}".format(
+                float(host["loss_bas_sen"])))
+            flogger.Log(prefix + "Loss Baseline (R): {}".format(
+                float(host["loss_bas_rec"])))
+
+        flogger.Log("Predictions: {}".format(
+            np.stack([host["target"],
+                      host["argmax"].astype(np.int64)], 0)))
+
+        n_train = int(host["n_steps"])
+        if flags.use_binary:
+            ent_sen = host["ent_binary_sen"][:n_train]
+            if len(ent_sen) > 0:
+                log_ent = "Entropy Sender Binary"
+                for i, ent in enumerate(ent_sen):
+                    log_ent += "\n{}. {}".format(i, -float(ent))
+                flogger.Log(log_ent + "\n")
+            ent_rec = host["ent_binary_rec"][:max(n_train - 1, 0)]
+            if len(ent_rec) > 0:
+                log_ent = "Entropy Receiver Binary"
+                for i, ent in enumerate(ent_rec):
+                    log_ent += "\n{}. {}".format(i, -float(ent))
+                flogger.Log(log_ent + "\n")
+        ent_y = host["ent_y_rec"][:n_train]
+        if len(ent_y) > 0:
+            log_ent = "Entropy Receiver Predictions"
+            for i, ent in enumerate(ent_y):
+                log_ent += "\n{}. {}".format(i, -float(ent))
+            flogger.Log(log_ent + "\n")
+
+        if flags.exchange_samples > 0:
+            flogger.Log(format_exchange_log(
+                "Train:", host["train_sen_probs"], host["train_sen_feats"],
+                host["train_rec_probs"], host["train_rec_feats"],
+                host["train_stop_probs"], host["train_stop_masks_post"],
+                n_train, flags.exchange_samples, flags.use_alpha))
+            flogger.Log(format_exchange_log(
+                "Eval:", host["eval_sen_probs"], host["eval_sen_feats"],
+                host["eval_rec_probs"], host["eval_rec_feats"],
+                host["eval_stop_probs"], host["eval_stop_masks_post"],
+                int(host["eval_n_steps"]), flags.exchange_samples,
+                flags.use_alpha))
+
+        logger.log(key="Loss Sender", val=float(host["loss_sen"]), step=t)
+        logger.log(key="Loss Receiver (Y)", val=float(host["nll_loss"]),
+                   step=t)
+        if flags.use_binary:
+            logger.log(key="Loss Receiver (Z)",
+                       val=float(host["loss_binary_rec"]), step=t)
+            if not flags.fixed_exchange:
+                logger.log(key="Loss Receiver (S)",
+                           val=float(host["loss_binary_s"]), step=t)
+            logger.log(key="Loss Baseline (S)",
+                       val=float(host["loss_bas_sen"]), step=t)
+            logger.log(key="Loss Baseline (R)",
+                       val=float(host["loss_bas_rec"]), step=t)
+        logger.log(key="Training Accuracy", val=avg_batch_acc, step=t)
+
+    def dev_block(t, i_batch, epoch):
+        nonlocal best_dev_acc, key
+        key, sub = jax.random.split(key)
+        dev_acc, extra, trues, preds = eval_dev_device(
+            modules, params, dev_ds, epoch, flags.shuffle_dev,
+            flags.batch_size_dev, flags.top_k_dev, desc_dev_j, sub,
+            desc_set_padded=dpadded_j, desc_set_mask=dpmask_j,
+            corrupt_mask=corrupt)
+        from sklearn.metrics import confusion_matrix
+        np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
+                   delimiter=",", fmt="%d")
+        dev_accuracy.append(dev_acc)
+        logger.log(key="Development Accuracy", val=dev_acc, step=t)
+        logger.log(key="Conversation Length (avg)",
+                   val=extra["conversation_lengths_mean"], step=t)
+        logger.log(key="Conversation Length (std)",
+                   val=extra["conversation_lengths_std"], step=t)
+        logger.log(key="Hamming Receiver (avg)",
+                   val=extra["hamming_rec_mean"], step=t)
+        logger.log(key="Hamming Sender (avg)",
+                   val=extra["hamming_sen_mean"], step=t)
+        flogger.Log("Epoch: {} Step: {} Batch: {} Development Accuracy: {}"
+                    .format(epoch, t, i_batch, dev_acc))
+        flogger.Log("Epoch: {} Step: {} Batch: {} Conversation Length "
+                    "(avg/std): {}/{}".format(
+                        epoch, t, i_batch,
+                        extra["conversation_lengths_mean"],
+                        extra["conversation_lengths_std"]))
+        flogger.Log("Epoch: {} Step: {} Batch: {} Mean Hamming Distance "
+                    "(R/S): {}/{}".format(
+                        epoch, t, i_batch, extra["hamming_rec_mean"],
+                        extra["hamming_sen_mean"]))
+        if t >= flags.save_after and dev_acc > best_dev_acc:
+            best_dev_acc = dev_acc
+            flogger.Log("Checkpointing with best Development "
+                        "Accuracy: {}".format(best_dev_acc))
+            save_checkpoint(flags.checkpoint + "_best",
+                            dict(step=t, best_dev_acc=best_dev_acc),
+                            params, opt_states)
+
+    while epoch < flags.max_epoch and not done:
+        flogger.Log("Starting epoch: {}".format(epoch))
+        idx_plan = train_ds.epoch_indices(epoch, flags.shuffle_train,
+                                          flags.batch_size)
+        nb = idx_plan.shape[0]
+        i = 0
+        steps_timed = 0
+        timer.start()
+        while i < nb:
+            t = step
+            if max_steps is not None and t >= max_steps:
+                done = True
+                break
+            if is_log(t):
+                # Full-metrics boundary step + one-transfer payload fetch.
+                key, sub = jax.random.split(key)
+                params, opt_states, m = full_step(
+                    params, opt_states, train_ds.feats, train_ds.targets,
+                    jnp.asarray(idx_plan[i]), desc_j, sub,
+                    feats_context=train_ds.context,
+                    desc_set_padded=padded_j, desc_set_mask=pmask_j)
+                ex_eval = None
+                if flags.exchange_samples > 0:
+                    # Re-run eval-mode exchange on the same batch for the
+                    # inferred-conversation dump (model.py:1463-1465).
+                    key, sub2 = jax.random.split(key)
+                    row = jnp.asarray(idx_plan[i])
+                    data = jnp.take(train_ds.feats, row, axis=0)
+                    kwargs = {}
+                    if train_ds.context is not None:
+                        kwargs["data_context"] = jnp.take(
+                            train_ds.context, row, axis=0)
+                    ex_eval = eval_exchange(params, data, desc_j, sub2,
+                                            desc_set_padded=padded_j,
+                                            desc_set_mask=pmask_j, **kwargs)
+                payload = packer.pack(m, ex_eval)
+                pending_acc.append(m.accuracy)
+                host = packer.unpack(np.asarray(payload))  # the one sync
+                steps_timed += 1
+                timer.stop(steps=steps_timed)
+                steps_timed = 0
+                flush_acc()
+                host["target"] = train_ds.targets_host[idx_plan[i]]
+                log_window(t, i, host, epoch)
+                timer.start()
+                did = 1
+            else:
+                # Chunk every step up to (exclusive) the next log boundary;
+                # break at the first dev/checkpoint action so host-side
+                # state is current when it fires.
+                next_log = (t // L + 1) * L
+                limit = next_log - 1
+                limit = min(limit, step + (nb - i) - 1)
+                if max_steps is not None:
+                    limit = min(limit, max_steps - 1)
+                chunk_last = limit
+                for v in range(t, limit + 1):
+                    if is_dev(v) or is_save(v):
+                        chunk_last = v
+                        break
+                k = chunk_last - t + 1
+                off = 0
+                for size in decompose_chunks(k):
+                    rows = idx_plan[i + off:i + off + size]
+                    key, sub = jax.random.split(key)
+                    params, opt_states, sm = chunk_step(
+                        params, opt_states, train_ds.feats,
+                        train_ds.targets, jnp.asarray(rows), desc_j, sub,
+                        feats_context=train_ds.context,
+                        desc_set_padded=padded_j, desc_set_mask=pmask_j)
+                    pending_acc.append(sm.accuracy)
+                    off += size
+                steps_timed += k
+                did = k
+
+            t_done = t + did - 1
+            if is_dev(t_done) or is_save(t_done):
+                # Host-side work: sync (the accuracy fetch blocks on every
+                # dispatched chunk) and close the running train span so
+                # dev-eval/checkpoint time never counts as step time.
+                flush_acc()
+                if steps_timed:
+                    timer.stop(steps=steps_timed)
+                    steps_timed = 0
+                else:
+                    timer.cancel()
+                if is_dev(t_done):
+                    dev_block(t_done, i + did - 1, epoch)
+                if is_save(t_done):
+                    flogger.Log("Checkpointing.")
+                    save_checkpoint(flags.checkpoint,
+                                    dict(step=t_done,
+                                         best_dev_acc=best_dev_acc),
+                                    params, opt_states)
+                timer.start()
+            step = t_done + 1
+            i += did
+            if max_steps is not None and step >= max_steps:
+                done = True
+                break
+
+        flush_acc()  # forces a device sync at the epoch boundary
+        if steps_timed:
+            timer.stop(steps=steps_timed)
+        else:
+            timer.cancel()
+        if timer.count:
+            flogger.Log("Epoch {} step timing: {}".format(
+                epoch, timer.summary()))
+            timer.reset()
+        epoch += 1
+
+    return dict(step=step, best_dev_acc=best_dev_acc, params=params,
+                opt_states=opt_states, batch_accuracy=batch_accuracy,
+                metrics=logger.history)

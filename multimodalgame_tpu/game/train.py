@@ -287,6 +287,98 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
     return chunk
 
 
+def make_train_step_indexed(modules: AgentModules, top_k: int,
+                            batch_denom: int, fast: Any = "auto"):
+    """Single full-metrics train step over a *device-resident* dataset
+    (data/device_dataset.py): the batch is gathered on device from the
+    staged feature array by a ``(B,)`` index row, so no per-step H2D
+    transfer ever happens (the tunnel moves ~30 MB/s; the gather is free).
+
+    Returns ``step(params, opt_states, feats, targets, idx, desc, key,
+    feats_context=None, desc_set_padded=None, desc_set_mask=None)
+    -> (params, opt_states, TrainMetrics)``.
+    """
+    cfg = modules.cfg
+    tx = build_optimizer(cfg)
+    update_names = AGENT_NAMES if cfg.use_binary else ("receiver",)
+    loss_fn = _loss_fn_for(modules, fast)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_states, feats, targets, idx, desc, key,
+             feats_context=None, desc_set_padded=None, desc_set_mask=None):
+        data = feats[idx]
+        target = targets[idx]
+        ctx = feats_context[idx] if feats_context is not None else None
+        grads, metrics = jax.grad(
+            lambda p: loss_fn(p, data, target, desc, key, desc_set_padded,
+                              desc_set_mask, ctx, top_k, batch_denom),
+            has_aux=True)(params)
+        new_params = dict(params)
+        new_opts = dict(opt_states)
+        for name in update_names:
+            updates, new_opts[name] = tx.update(
+                grads[name], opt_states[name], params[name])
+            new_params[name] = optax.apply_updates(params[name], updates)
+        return new_params, new_opts, metrics
+
+    return step
+
+
+def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
+                                      batch_denom: int, fast: Any = "auto"):
+    """Device-side K-step training loop over a device-resident dataset.
+
+    Like :func:`make_multistep_train_step`, but each scan step gathers its
+    batch from the staged ``(N, ...)`` feature array via a ``(K, B)`` index
+    plan, and the K per-step PRNG keys are derived on device from one key.
+    One host dispatch and zero H2D data traffic per K optimizer updates —
+    this is the CLI training driver's hot path (game/driver.py).
+
+    Returns ``chunk(params, opt_states, feats, targets, idx (K, B), desc,
+    key, feats_context=None, desc_set_padded=None, desc_set_mask=None)
+    -> (params, opt_states, ScanMetrics)``. The jit specializes on the
+    chunk length K (the driver uses a fixed set of power-of-two sizes to
+    bound compilations).
+    """
+    cfg = modules.cfg
+    tx = build_optimizer(cfg)
+    update_names = AGENT_NAMES if cfg.use_binary else ("receiver",)
+    loss_fn = _loss_fn_for(modules, fast)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def chunk(params, opt_states, feats, targets, idx, desc, key,
+              feats_context=None, desc_set_padded=None, desc_set_mask=None):
+        keys = jax.random.split(key, idx.shape[0])
+
+        def body(carry, xs):
+            params, opt_states = carry
+            b_idx, b_key = xs
+            data = feats[b_idx]
+            target = targets[b_idx]
+            ctx = (feats_context[b_idx]
+                   if feats_context is not None else None)
+            grads, m = jax.grad(
+                lambda p: loss_fn(p, data, target, desc, b_key,
+                                  desc_set_padded, desc_set_mask, ctx,
+                                  top_k, batch_denom),
+                has_aux=True)(params)
+            new_params = dict(params)
+            new_opts = dict(opt_states)
+            for name in update_names:
+                updates, new_opts[name] = tx.update(
+                    grads[name], opt_states[name], params[name])
+                new_params[name] = optax.apply_updates(params[name], updates)
+            out = ScanMetrics(m.loss_rec, m.loss_sen, m.nll_loss,
+                              m.loss_bas_rec, m.loss_bas_sen, m.accuracy)
+            return (new_params, new_opts), out
+
+        (p, o), metrics = jax.lax.scan(body, (params, opt_states),
+                                       (idx, keys))
+        return p, o, metrics
+
+    return chunk
+
+
 def make_eval_exchange(modules: AgentModules, use_pallas: bool = False):
     """Build the jitted eval-mode exchange used by eval_dev, extraction,
     and the train loop's sample dumps (rounded messages, cumulative stop

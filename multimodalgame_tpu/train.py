@@ -179,6 +179,19 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                               flags.shuffle_dev, desc_dev)
         return dict(binary_output=path)
 
+    # The chunked device-side driver (game/driver.py) is the product hot
+    # path: dataset staged in HBM, whole log windows compiled as one
+    # program, one host transfer per log boundary. The legacy per-batch
+    # loop below remains for CIFAR (streaming loader) and -nofast_driver.
+    if flags.fast_driver and flags.images == "mammal":
+        from multimodalgame_tpu.game.driver import run_fast
+        summary = run_fast(flags, modules, params, opt_states, desc_train,
+                           desc_dev, flogger, logger, eval_exchange,
+                           step=step, best_dev_acc=best_dev_acc,
+                           max_steps=max_steps)
+        flogger.Log("Finished training.")
+        return summary
+
     train_step = make_train_step(modules, flags.top_k_train,
                                  flags.batch_size)
 

@@ -38,19 +38,28 @@ def trace(log_dir: Optional[str] = None):
 
 
 class StepTimer:
-    """Accumulates per-step wall times and reports summaries."""
+    """Accumulates wall times and reports per-step summaries.
+
+    Each ``start``/``stop`` pair records one timed span covering ``steps``
+    optimizer updates (default 1) — the chunked driver (game/driver.py)
+    times a whole device-side chunk per span, so throughput is reported
+    per *step*, not per dispatch."""
 
     def __init__(self):
-        self._times: List[float] = []
+        self._times: List[tuple] = []  # (seconds, steps)
         self._t0: Optional[float] = None
 
     def start(self) -> None:
         self._t0 = time.perf_counter()
 
-    def stop(self) -> None:
+    def stop(self, steps: int = 1) -> None:
         if self._t0 is not None:
-            self._times.append(time.perf_counter() - self._t0)
+            self._times.append((time.perf_counter() - self._t0, steps))
             self._t0 = None
+
+    def cancel(self) -> None:
+        """Discard the currently running span without recording it."""
+        self._t0 = None
 
     def __enter__(self):
         self.start()
@@ -67,13 +76,17 @@ class StepTimer:
         if not self._times:
             return {}
         import numpy as np
-        a = np.asarray(self._times)
+        secs = np.asarray([t for t, _ in self._times])
+        steps = np.asarray([n for _, n in self._times])
+        per_step = secs / np.maximum(steps, 1)
+        total = float(secs.sum())
+        n = int(steps.sum())
         return {
-            "steps": int(a.size),
-            "mean_ms": float(a.mean() * 1e3),
-            "p50_ms": float(np.percentile(a, 50) * 1e3),
-            "p95_ms": float(np.percentile(a, 95) * 1e3),
-            "steps_per_sec": float(1.0 / a.mean()),
+            "steps": n,
+            "mean_ms": float(total / max(n, 1) * 1e3),
+            "p50_ms": float(np.percentile(per_step, 50) * 1e3),
+            "p95_ms": float(np.percentile(per_step, 95) * 1e3),
+            "steps_per_sec": float(n / total) if total > 0 else 0.0,
         }
 
     def reset(self) -> None:
