@@ -85,6 +85,96 @@ def measure_tpu_steps_per_sec(chunk_steps: int = 50,
     return num_chunks * chunk_steps / elapsed
 
 
+def measure_epoch_throughput(num_epochs: int = 5) -> dict:
+    """End-to-end epoch throughput through the product path: real HDF5
+    file -> one-time HBM staging (data/device_dataset.py) -> per-epoch
+    reference-parity shuffle plan -> chunked device-side training
+    (game/driver.py decomposition), synced once per epoch.
+
+    This is the north-star 'epoch time' metric (BASELINE.md): unlike the
+    hot-loop number it includes dataset IO (amortized), label mapping,
+    host index planning, and the end-of-epoch metric fetch. Canonical
+    scale: 30 classes x 100 examples, batch 64 -> 46 steps/epoch.
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalgame_tpu.data.descriptions import load_descriptions
+    from multimodalgame_tpu.data.device_dataset import DeviceDataset
+    from multimodalgame_tpu.data.synthetic import (write_descriptions_csv,
+                                                   write_fake_glove,
+                                                   write_feature_hdf5)
+    from multimodalgame_tpu.game.agents import AgentModules, init_params
+    from multimodalgame_tpu.game.config import GameConfig
+    from multimodalgame_tpu.game.driver import decompose_chunks
+    from multimodalgame_tpu.game.train import (
+        init_opt_states, make_multistep_train_step_indexed)
+
+    root = tempfile.mkdtemp(prefix="mmg_bench_")
+    n_classes, per_class, batch = 30, 100, 64
+    descr = os.path.join(root, "descriptions.csv")
+    glove = os.path.join(root, "glove.txt")
+    train = os.path.join(root, "train.hdf5")
+    write_descriptions_csv(descr, n_classes)
+    write_fake_glove(glove, wv_dim=100)
+    write_feature_hdf5(train, n_classes * per_class, n_classes,
+                       single_class_blocks=True,
+                       feature_keys=("avgpool_512",))
+
+    cfg = GameConfig(
+        img_feat="avgpool_512", img_feat_dim=512, img_h_dim=256,
+        sender_out_dim=32, rec_w_dim=32, rec_hidden=64, wv_dim=100,
+        max_exchange=10, fixed_exchange=False,
+        entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
+        learning_rate=1e-4, optim_type="RMSprop")
+    modules = AgentModules(cfg)
+    pack = load_descriptions(descr, "glove.6B", 100, glove_path=glove)
+
+    t0 = time.perf_counter()
+    ds = DeviceDataset.from_hdf5(train, "avgpool_512",
+                                 map_labels=pack.map_labels)
+    desc = jnp.asarray(pack.desc)
+    stage_seconds = time.perf_counter() - t0
+
+    params = init_params(modules, jax.random.PRNGKey(0),
+                         num_classes=pack.num_classes)
+    opt_states = init_opt_states(cfg, params)
+    chunk = make_multistep_train_step_indexed(modules, top_k=6,
+                                              batch_denom=batch)
+    key = jax.random.PRNGKey(1)
+
+    def run_epoch(epoch: int):
+        nonlocal params, opt_states, key
+        plan = ds.epoch_indices(epoch, True, batch)
+        acc = None
+        off = 0
+        for size in decompose_chunks(plan.shape[0]):
+            key, sub = jax.random.split(key)
+            params, opt_states, sm = chunk(
+                params, opt_states, ds.feats, ds.targets,
+                jnp.asarray(plan[off:off + size]), desc, sub)
+            acc = sm.accuracy
+            off += size
+        return plan.shape[0], float(np.asarray(acc)[-1])  # epoch sync
+
+    run_epoch(0)  # compile warmup
+    t0 = time.perf_counter()
+    steps = 0
+    for epoch in range(1, num_epochs + 1):
+        nb, _ = run_epoch(epoch)
+        steps += nb
+    elapsed = time.perf_counter() - t0
+    examples = steps * batch
+    return {
+        "epoch_seconds": elapsed / num_epochs,
+        "examples_per_sec": examples / elapsed,
+        "e2e_steps_per_sec": steps / elapsed,
+        "stage_seconds": stage_seconds,
+    }
+
+
 def load_or_measure_baseline() -> float:
     path = os.path.join(_REPO, "BASELINE_MEASURED.json")
     if os.path.exists(path):
@@ -99,11 +189,18 @@ def load_or_measure_baseline() -> float:
 def main() -> None:
     value = measure_tpu_steps_per_sec()
     baseline = load_or_measure_baseline()
+    epoch = measure_epoch_throughput()
     print(json.dumps({
         "metric": "adaptive_train_steps_per_sec",
         "value": round(value, 2),
         "unit": "steps/s",
         "vs_baseline": round(value / baseline, 2),
+        # North-star secondary metrics: end-to-end epoch time through the
+        # product path (HDF5 -> staged HBM -> chunked trainer).
+        "epoch_seconds": round(epoch["epoch_seconds"], 4),
+        "examples_per_sec": round(epoch["examples_per_sec"], 1),
+        "e2e_steps_per_sec": round(epoch["e2e_steps_per_sec"], 2),
+        "stage_seconds": round(epoch["stage_seconds"], 3),
     }))
 
 

@@ -57,6 +57,8 @@ def write_fake_glove(path: str, wv_dim: int = 100, seed: int = 1) -> None:
 def write_feature_hdf5(path: str, num_examples: int, num_classes: int,
                        label_ids: Optional[Sequence[int]] = None,
                        seed: int = 0, single_class_blocks: bool = False,
+                       feature_keys: Sequence[str] = ("layer4_2",
+                                                      "avgpool_512", "fc"),
                        ) -> None:
     """Write an HDF5 feature file with the reference pipeline's schema.
 
@@ -64,6 +66,10 @@ def write_feature_hdf5(path: str, num_examples: int, num_classes: int,
     order, matching the real dataset build (ImageFolder iterates class by
     class, utils/package_data.py:181-183) — required by the extraction
     path's single-target-batch assertion (binary_vectors.py:96-97).
+
+    ``feature_keys`` selects which feature sets to materialize — large
+    fixtures (the benchmark's canonical-scale file) skip the 131 KB/example
+    ``layer4_2`` map when only ``avgpool_512`` is consumed.
     """
     rng = np.random.RandomState(seed)
     if label_ids is None:
@@ -90,19 +96,23 @@ def write_feature_hdf5(path: str, num_examples: int, num_classes: int,
     proto_fc = proto_rng.randn(num_classes, 1000).astype(np.float32)
     proto_map = proto_rng.randn(num_classes, 512, 8, 8).astype(np.float32)
 
-    avgpool = np.abs(proto_pool[cls_idx]
-                     + 0.3 * rng.randn(num_examples, 512)).astype(np.float32)
-    fc = (proto_fc[cls_idx]
-          + 0.3 * rng.randn(num_examples, 1000)).astype(np.float32)
-    layer4 = (proto_map[cls_idx]
-              + 0.3 * rng.randn(num_examples, 512, 8, 8)).astype(np.float32)
-
     with h5py.File(path, "w") as f:
         f.create_dataset("Target", data=targets.astype(np.int64))
         f.create_dataset("Location", data=locations)
-        f.create_dataset("layer4_2", data=layer4[:, None])
-        f.create_dataset("avgpool_512", data=avgpool[:, None])
-        f.create_dataset("fc", data=fc[:, None])
+        # Draw order (avgpool, fc, layer4) matches the all-keys layout, so
+        # an avgpool-only fixture has the same avgpool as the full one.
+        if "avgpool_512" in feature_keys:
+            avgpool = np.abs(proto_pool[cls_idx] + 0.3 * rng.randn(
+                num_examples, 512)).astype(np.float32)
+            f.create_dataset("avgpool_512", data=avgpool[:, None])
+        if "fc" in feature_keys:
+            fc = (proto_fc[cls_idx] + 0.3 * rng.randn(
+                num_examples, 1000)).astype(np.float32)
+            f.create_dataset("fc", data=fc[:, None])
+        if "layer4_2" in feature_keys:
+            layer4 = (proto_map[cls_idx] + 0.3 * rng.randn(
+                num_examples, 512, 8, 8)).astype(np.float32)
+            f.create_dataset("layer4_2", data=layer4[:, None])
 
 
 def build_synthetic_dataset(root: str, num_classes: int = 10,
