@@ -121,6 +121,9 @@ def _registry() -> Dict[str, FlagDef]:
     # HBM and runs whole log windows as single compiled programs. Disable
     # with -nofast_driver to fall back to the per-batch host loop.
     define("fast_driver", "boolean", True)
+    # Extension: master PRNG seed for parameter init and sampling streams
+    # (the reference relies on torch's process-global RNG and has no flag).
+    define("random_seed", "integer", 0)
 
     # Display settings (model.py:1665-1670)
     define("env", "string", "main")

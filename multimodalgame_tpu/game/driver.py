@@ -108,7 +108,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     def is_save(t):
         return t >= flags.save_after and t % flags.save_interval == 0
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(flags.random_seed + 1)
     batch_accuracy = []   # host floats, one per optimizer step, in order
     pending_acc = []      # device accuracy arrays not yet fetched
     dev_accuracy = []

@@ -1,0 +1,180 @@
+"""Multi-host (multi-process) data parallelism over DCN + ICI.
+
+Single-process scale-out (parallel/mesh.py) covers one TPU slice; this
+module extends the same data-parallel strategy across *processes* — the
+multi-host topology where each host drives its local chips and gradient
+all-reduce crosses hosts over DCN. The recipe is unchanged JAX SPMD:
+``jax.distributed.initialize`` first, then a global mesh over
+``jax.devices()`` (every chip in the job), params replicated, batches
+sharded; XLA routes within-slice collective hops over ICI and cross-host
+hops over DCN automatically for a 1-D data axis.
+
+The reference has no distributed code at all (SURVEY §5.8); this is the
+scale-out axis the north star adds. Launch pattern (one process per
+host):
+
+    python -c "
+    from multimodalgame_tpu.parallel import distributed
+    distributed.initialize('host0:8476', num_processes=N, process_id=i)
+    ..."
+
+Testable without hardware: ``dryrun_multihost`` runs one full
+data-parallel training step with each process holding only its local
+shard of the batch; tests/test_distributed.py launches 2 CPU processes
+(2 virtual devices each, gloo collectives) and checks both agree with
+the single-process result.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def initialize(coordinator_address: str, num_processes: int,
+               process_id: int,
+               local_device_ids: Optional[list] = None) -> None:
+    """``jax.distributed.initialize`` with the CPU-backend fallback wired
+    (gloo collectives) so multi-process runs work on any machine."""
+    import jax
+
+    # Required for CPU cross-process collectives; ignored by TPU jobs
+    # (their collectives ride ICI/DCN through the TPU runtime).
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id,
+                               local_device_ids=local_device_ids)
+
+
+def global_mesh():
+    """1-D data mesh over every device in the job (all processes)."""
+    import jax
+    from multimodalgame_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(devices=jax.devices())
+
+
+def replicate_global(tree, mesh):
+    """Replicate host values onto a (possibly multi-process) mesh.
+
+    Every process must pass the same value — true by construction here
+    since parameter init is a deterministic function of the PRNG key.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), tree)
+
+
+def shard_batch_global(tree, mesh):
+    """Assemble global batch arrays from per-process local shards.
+
+    Each process passes only ITS rows (its local slice of the global
+    batch); the result is a global array sharded over the data axis whose
+    per-device pieces live where their process put them.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from multimodalgame_tpu.parallel.mesh import BATCH_AXIS
+
+    sh = NamedSharding(mesh, P(BATCH_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), tree)
+
+
+def dryrun_multihost(coordinator_address: str, num_processes: int,
+                     process_id: int) -> dict:
+    """One full data-parallel training step across processes.
+
+    Each process stages only its local slice of a deterministic global
+    batch, runs the fused four-optimizer step over the global mesh, and
+    returns the (replicated) metrics — which every process can check
+    against a locally-computed single-device reference because the batch
+    is reconstructible from the seed.
+    """
+    initialize(coordinator_address, num_processes, process_id)
+
+    import jax
+
+    from multimodalgame_tpu.game.agents import AgentModules, init_params
+    from multimodalgame_tpu.game.config import GameConfig
+    from multimodalgame_tpu.game.train import init_opt_states
+    from multimodalgame_tpu.parallel.mesh import make_sharded_train_step
+
+    cfg = GameConfig(
+        img_feat="avgpool_512", img_feat_dim=512, img_h_dim=32,
+        sender_out_dim=32, rec_w_dim=32, rec_hidden=16, wv_dim=100,
+        max_exchange=3, fixed_exchange=False,
+        entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
+        learning_rate=1e-4, optim_type="RMSprop")
+    modules = AgentModules(cfg)
+    num_classes = 5
+    n_devices = jax.device_count()
+    per_device = 2
+    batch = per_device * n_devices
+
+    mesh = global_mesh()
+    params = init_params(modules, jax.random.PRNGKey(0),
+                         num_classes=num_classes)
+    opt_states = init_opt_states(cfg, params)
+
+    # Deterministic global batch; every process slices out its rows.
+    rng = np.random.RandomState(0)
+    data = rng.randn(batch, 512).astype(np.float32)
+    target = rng.randint(0, num_classes, size=batch)
+    desc = rng.randn(num_classes, 100).astype(np.float32)
+
+    rows_per_proc = batch // num_processes
+    lo = process_id * rows_per_proc
+    hi = lo + rows_per_proc
+
+    g_params = replicate_global(params, mesh)
+    g_opts = replicate_global(opt_states, mesh)
+    g_desc = replicate_global(desc, mesh)
+    g_key = replicate_global(
+        np.asarray(jax.random.PRNGKey(1)), mesh)
+    g_data, g_target = shard_batch_global(
+        (data[lo:hi], target[lo:hi]), mesh)
+
+    step = make_sharded_train_step(modules, top_k=3, batch_denom=batch,
+                                   mesh=mesh)
+    _, _, metrics = step(g_params, g_opts, g_data, g_target, g_desc, g_key)
+    out = {
+        "process_id": process_id,
+        "num_processes": num_processes,
+        "global_devices": n_devices,
+        "loss_rec": float(metrics.loss_rec),
+        "loss_sen": float(metrics.loss_sen),
+        "accuracy": float(metrics.accuracy),
+    }
+    assert np.isfinite(out["loss_rec"]) and np.isfinite(out["loss_sen"])
+    return out
+
+
+def _main() -> None:
+    """Subprocess worker for the 2-process CPU test (and a manual
+    multi-host smoke entry): prints the dryrun metrics as one JSON line."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    args = p.parse_args()
+    out = dryrun_multihost(args.coordinator, args.num_processes,
+                           args.process_id)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    _main()

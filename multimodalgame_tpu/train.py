@@ -124,7 +124,7 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     desc_train = _load_desc_pack(flags, flags.descr_train)
     desc_dev = _load_desc_pack(flags, flags.descr_dev)
 
-    params = init_params(modules, jax.random.PRNGKey(0),
+    params = init_params(modules, jax.random.PRNGKey(flags.random_seed),
                          num_classes=desc_train.num_classes,
                          max_words=max(desc_train.desc_set_lens))
     # Architecture + parameter-count logging in the reference's order
@@ -201,7 +201,7 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     pmask_j = (jnp.asarray(desc_train.desc_set_mask)
                if cfg.desc_attn else None)
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(flags.random_seed + 1)
     batch_accuracy = []
     dev_accuracy = []
     done = False
