@@ -1,50 +1,72 @@
-"""CIFAR-10 alternative image path.
+"""CIFAR-10 alternative image path, torchvision-free.
 
 Parity target: the reference's ``images=cifar`` branch
-(model.py:1195-1206) — torchvision CIFAR-10, scaled to 227 and normalized
-to (.5, .5), shuffled batches. The reference feeds raw pixels as the
-"image features" in this mode.
+(model.py:1195-1206) — CIFAR-10 test split, each 32×32 image scaled to
+227 (bilinear, the torchvision ``Scale(227)`` behavior), converted to
+[0,1] floats and normalized to (.5, .5), shuffled batches of raw pixels
+fed as the "image features".
 
-This environment has no network egress, so the dataset must already exist
-on disk (``root``); otherwise a clear error points at the requirement.
-Raw CIFAR batches are delivered as numpy ``(B, 3, 227, 227)`` under the
-same batch-dict contract as the HDF5 loader.
+Re-derived natively: the CIFAR-10 python-format pickle batch
+(``cifar-10-batches-py/test_batch``) is parsed directly and images are
+resized with PIL — no torchvision/torch dependency. The dataset must
+already exist on disk under ``root`` (this environment has no network
+egress; the reference's ``download=True`` is a documented deviation).
+Unlike the reference's unseeded DataLoader shuffle, the permutation here
+is seeded ``11 + epoch`` like every other loader in this framework.
 """
 
 from __future__ import annotations
 
+import os
+import pickle
 from typing import Dict, Iterator
 
 import numpy as np
 
+_BATCH_FILE = os.path.join("cifar-10-batches-py", "test_batch")
+
+
+def _resize_bilinear(images: np.ndarray, size: int) -> np.ndarray:
+    """(B, 3, 32, 32) uint8 -> (B, 3, size, size) float32 in [0, 1]."""
+    from PIL import Image
+
+    out = np.empty((images.shape[0], 3, size, size), np.float32)
+    for i, img in enumerate(images):
+        pil = Image.fromarray(np.transpose(img, (1, 2, 0)))
+        resized = pil.resize((size, size), Image.BILINEAR)
+        out[i] = np.transpose(np.asarray(resized, np.float32),
+                              (2, 0, 1)) / 255.0
+    return out
+
 
 def load_cifar(batch_size: int, epoch: int, root: str = "./",
+               image_size: int = 227,
                ) -> Iterator[Dict[str, np.ndarray]]:
-    try:
-        import torchvision.datasets as dset
-        import torchvision.transforms as transforms
-        import torch
-    except ImportError as e:
+    """Yield shuffled CIFAR batches under the HDF5-loader batch contract:
+    raw pixels as ``layer4_2`` (B, 3, S, S) and flattened as
+    ``avgpool_512``/``fc``. The ragged final batch is dropped, matching
+    the HDF5 train loader (misc.py:274-278)."""
+    path = os.path.join(os.path.expanduser(root), _BATCH_FILE)
+    if not os.path.exists(path):
         raise NotImplementedError(
-            "images=cifar requires torchvision with a local CIFAR-10 copy "
-            "(no network egress available to download it)") from e
+            "images=cifar requires a local CIFAR-10 python-format copy at "
+            f"{path!r} (no network egress available to download it)")
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    data = np.asarray(d[b"data"], np.uint8).reshape(-1, 3, 32, 32)
+    labels = np.asarray(d[b"labels"], np.int64)
 
-    dataset = dset.CIFAR10(
-        root=root, download=False, train=False,
-        transform=transforms.Compose([
-            transforms.Resize(227),
-            transforms.ToTensor(),
-            transforms.Normalize((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
-        ]))
-    loader = torch.utils.data.DataLoader(
-        dataset, batch_size=batch_size, shuffle=True,
-        generator=torch.Generator().manual_seed(11 + epoch))
-    for tensor, target in loader:
-        data = tensor.numpy().astype(np.float32)
+    rng = np.random.RandomState(11 + epoch)
+    perm = rng.permutation(len(labels))
+    for i in range(0, len(perm) - batch_size + 1, batch_size):
+        idx = perm[i:i + batch_size]
+        pixels = _resize_bilinear(data[idx], image_size)
+        pixels = (pixels - 0.5) / 0.5  # Normalize((.5,)*3, (.5,)*3)
+        flat = pixels.reshape(pixels.shape[0], -1)
         yield {
-            "target": target.numpy().astype(np.int64),
-            "example_ids": np.arange(len(target)),
-            "avgpool_512": data.reshape(data.shape[0], -1),
-            "layer4_2": data,
-            "fc": data.reshape(data.shape[0], -1),
+            "target": labels[idx],
+            "example_ids": idx,
+            "avgpool_512": flat,
+            "layer4_2": pixels,
+            "fc": flat,
         }
