@@ -59,15 +59,15 @@ class VisdomLogger:
     """
 
     def __init__(self, env: str = "main", experiment_name: str = "",
-                 minimum: int = 2, enabled: bool = False):
+                 minimum: int = 2, enabled: bool = False, viz=None):
         self.enabled = enabled
         self.experiment_name = experiment_name
         self.env = env
         self.minimum = minimum
         self.q: Dict[str, List[Tuple[int, float]]] = {}
         self.history: Dict[str, List[Tuple[int, float]]] = {}
-        self.viz = None
-        if enabled:
+        self.viz = viz
+        if enabled and viz is None:
             try:
                 from visdom import Visdom  # type: ignore
                 self.viz = Visdom()
@@ -82,6 +82,30 @@ class VisdomLogger:
             return metric
         return None
 
+    def _ship(self, key, steps, vals) -> None:
+        """Send one trace update, preferring the modern API.
+
+        The reference called ``viz.updateTrace`` (misc.py:135-140), an API
+        visdom removed years ago; modern servers take
+        ``line(..., update="append")``, which creates the window when it
+        doesn't exist. The legacy call remains as a fallback for old
+        servers.
+        """
+        opts = {"legend": [self.experiment_name], "title": key}
+        try:
+            win = self.viz.line(X=steps, Y=vals, win=key, env=self.env,
+                                name=self.experiment_name,
+                                update="append", opts=opts)
+        except TypeError:
+            # Ancient visdom: line() has no update kwarg; appending went
+            # through the since-removed updateTrace.
+            win = self.viz.updateTrace(X=steps, Y=vals,
+                                       name=self.experiment_name, win=key,
+                                       env=self.env, append=True)
+        if win == "win does not exist":
+            self.viz.line(X=steps, Y=vals, win=key, env=self.env,
+                          opts=opts)
+
     def log(self, key: str, val: float, step: int) -> None:
         self.history.setdefault(key, []).append((step, float(val)))
         if not self.enabled:
@@ -91,15 +115,8 @@ class VisdomLogger:
             return
         import numpy as np
         steps, vals = zip(*metrics)
-        steps = np.array(steps, dtype=np.int32)
-        vals = np.array(vals, dtype=np.float32)
-        win = self.viz.updateTrace(X=steps, Y=vals,
-                                   name=self.experiment_name, win=key,
-                                   env=self.env, append=True)
-        if win == "win does not exist":
-            self.viz.line(X=steps, Y=vals, win=key, env=self.env,
-                          opts={"legend": [self.experiment_name],
-                                "title": key})
+        self._ship(key, np.array(steps, dtype=np.int32),
+                   np.array(vals, dtype=np.float32))
 
 
 def read_log_load(filename: str, last: bool = True) -> Optional[dict]:

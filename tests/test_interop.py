@@ -90,3 +90,111 @@ def test_trace_noop_and_real(tmp_path, monkeypatch):
         import jax.numpy as jnp
         jnp.ones(8).sum().block_until_ready()
     assert os.path.isdir(d)
+
+
+def test_optimizer_state_roundtrip(tmp_path):
+    """RMSprop accumulators survive the .pt round trip (VERDICT round-1
+    item #9; reference restores all 4 optimizer state_dicts,
+    misc.py:78-92)."""
+    import jax.numpy as jnp
+    from multimodalgame_tpu.game.train import (build_optimizer,
+                                               init_opt_states)
+
+    cfg, mods, params = _params(optim_type="RMSprop", learning_rate=1e-3)
+    opts = init_opt_states(cfg, params)
+    # A few real updates so the accumulators are non-trivial.
+    tx = build_optimizer(cfg)
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        grads = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(rng.randn(*np.shape(x)) * 0.1,
+                                  jnp.float32), params)
+        for name in params:
+            upd, opts[name] = tx.update(grads[name], opts[name],
+                                        params[name])
+
+    path = str(tmp_path / "full.pt")
+    save_reference_checkpoint(path, dict(step=3, best_dev_acc=0.1),
+                              params, opts, optim_type="RMSprop")
+    fresh = init_opt_states(cfg, params)
+    data, p2, opts2 = load_reference_checkpoint(path, params, fresh,
+                                                optim_type="RMSprop")
+    _leaves_equal(params, p2)
+    for name in params:
+        _leaves_equal(opts[name], opts2[name])
+
+
+def test_rmsprop_trajectory_continuation(tmp_path):
+    """Resuming from a torch-written mid-training checkpoint reproduces
+    torch's next update: train a torch module with torch.optim.RMSprop,
+    save the reference layout, load here, apply one more identical
+    gradient in both frameworks, and compare parameters."""
+    import torch
+    from multimodalgame_tpu.game.train import (build_optimizer,
+                                               init_opt_states)
+    from tests.torch_oracle import OracleBaseline
+
+    cfg, mods, params = _params(optim_type="RMSprop", learning_rate=1e-2)
+    # Torch side: same weights (baseline_rec: x_dim=0, inp=rec_hidden).
+    o = OracleBaseline(cfg.baseline_hid_dim, 0, cfg.rec_w_dim,
+                       cfg.rec_hidden)
+    from multimodalgame_tpu.utils.torch_interop import (
+        opt_state_from_torch)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+          for k, v in params_to_torch_state(params)[
+              "baseline_rec"].items()}
+    o.load_state_dict(sd)
+    opt = torch.optim.RMSprop(o.parameters(), lr=1e-2, alpha=0.99,
+                              eps=1e-8)
+
+    rng = np.random.RandomState(1)
+    z = torch.from_numpy(rng.randn(5, cfg.rec_w_dim).astype(np.float32))
+    h = torch.from_numpy(rng.randn(5, cfg.rec_hidden).astype(np.float32))
+    for _ in range(4):  # accumulate real square_avg state in torch
+        opt.zero_grad()
+        (o(None, z, h) ** 2).mean().backward()
+        torch.nn.utils.clip_grad_norm_(o.parameters(), 1.0)
+        opt.step()
+
+    # Convert torch's state into optax and step both with one more
+    # identical gradient.
+    import jax.numpy as jnp
+    import optax
+    grads_t = {}
+    opt.zero_grad()
+    (o(None, z, h) ** 2).mean().backward()
+    named = dict(o.named_parameters())
+    opts = init_opt_states(cfg, params)
+    tsd = opt.state_dict()
+    tsd_np = {"state": {k: {kk: vv.numpy() for kk, vv in v.items()}
+                        for k, v in tsd["state"].items()},
+              "param_groups": tsd["param_groups"]}
+    br = opt_state_from_torch("baseline_rec", params["baseline_rec"],
+                              opts["baseline_rec"], tsd_np, "RMSprop")
+
+    g_ours = {
+        "linear1": {"kernel": jnp.asarray(named["linear1.weight"]
+                                          .grad.numpy().T),
+                    "bias": jnp.asarray(named["linear1.bias"]
+                                        .grad.numpy())},
+        "linear2": {"kernel": jnp.asarray(named["linear2.weight"]
+                                          .grad.numpy().T),
+                    "bias": jnp.asarray(named["linear2.bias"]
+                                        .grad.numpy())},
+    }
+    # A real resume also loads torch's CURRENT weights, not the init.
+    p_now = params_from_torch_state(
+        params, {"baseline_rec": {k: v.detach().numpy()
+                                  for k, v in named.items()}})
+    tx = build_optimizer(cfg)
+    upd, _ = tx.update(g_ours, br, p_now["baseline_rec"])
+    ours_next = optax.apply_updates(p_now["baseline_rec"], upd)
+
+    torch.nn.utils.clip_grad_norm_(o.parameters(), 1.0)
+    opt.step()
+    np.testing.assert_allclose(
+        np.asarray(ours_next["linear1"]["kernel"]),
+        named["linear1.weight"].detach().numpy().T, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(ours_next["linear2"]["bias"]),
+        named["linear2.bias"].detach().numpy(), rtol=1e-5, atol=1e-7)

@@ -57,3 +57,68 @@ def test_read_log_load(tmp_path):
     lg.Log("Flag Values:\n" + json.dumps({"a": 1, "b": "x"}, indent=4))
     lg.Log("other stuff")
     assert read_log_load(path) == {"a": 1, "b": "x"}
+
+
+class _ModernVisdomStub:
+    """Mimics visdom >= 0.1.7: line() supports update="append" and
+    returns the window id (or the sentinel string when absent)."""
+
+    def __init__(self):
+        self.calls = []
+        self.windows = set()
+
+    def line(self, X, Y, win=None, env=None, name=None, update=None,
+             opts=None):
+        self.calls.append(("line", win, update, len(X)))
+        if update == "append" and win not in self.windows:
+            return "win does not exist"
+        self.windows.add(win)
+        return win
+
+
+class _LegacyVisdomStub:
+    """Mimics the pre-0.1.7 API the reference used (misc.py:135-140):
+    line() has no update/name kwargs; appends go through updateTrace."""
+
+    def __init__(self):
+        self.calls = []
+        self.windows = set()
+
+    def line(self, X, Y, win=None, env=None, opts=None):
+        self.calls.append(("line", win, len(X)))
+        self.windows.add(win)
+        return win
+
+    def updateTrace(self, X, Y, name=None, win=None, env=None,
+                    append=None):
+        self.calls.append(("updateTrace", win, len(X)))
+        if win not in self.windows:
+            return "win does not exist"
+        return win
+
+
+def test_visdom_logger_modern_server():
+    viz = _ModernVisdomStub()
+    lg = VisdomLogger(enabled=True, viz=viz, experiment_name="e")
+    lg.log("Loss", 1.0, step=0)
+    assert viz.calls == []                  # buffered below minimum
+    lg.log("Loss", 0.5, step=1)             # flush: append -> create
+    assert viz.calls[0] == ("line", "Loss", "append", 2)
+    assert viz.calls[1] == ("line", "Loss", None, 2)
+    lg.log("Loss", 0.4, step=2)
+    lg.log("Loss", 0.3, step=3)             # second flush: plain append
+    assert viz.calls[2] == ("line", "Loss", "append", 2)
+    assert len(viz.calls) == 3
+    assert lg.history["Loss"] == [(0, 1.0), (1, 0.5), (2, 0.4), (3, 0.3)]
+
+
+def test_visdom_logger_legacy_server():
+    viz = _LegacyVisdomStub()
+    lg = VisdomLogger(enabled=True, viz=viz, experiment_name="e")
+    lg.log("Acc", 0.1, step=0)
+    lg.log("Acc", 0.2, step=1)
+    # line(update=...) raised TypeError -> updateTrace -> create via line.
+    assert viz.calls == [("updateTrace", "Acc", 2), ("line", "Acc", 2)]
+    lg.log("Acc", 0.3, step=2)
+    lg.log("Acc", 0.4, step=3)
+    assert viz.calls[2] == ("updateTrace", "Acc", 2)
