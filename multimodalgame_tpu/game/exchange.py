@@ -112,11 +112,14 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
     rec_cache = rec_apply("precompute", desc, desc_set_padded, desc_set_mask)
 
     # The Receiver opens the conversation with a query of ``first_rec``s
-    # (model.py:786-787; 0s by default).
-    w0 = jnp.full((batch, cfg.rec_w_dim), cfg.first_rec, jnp.float32)
-    h0 = jnp.zeros((batch, cfg.rec_hidden), jnp.float32)
-    mask0 = jnp.ones((batch, 1), jnp.float32)
-    sprod0 = jnp.ones((batch, cfg.rec_s_dim), jnp.float32)
+    # (model.py:786-787; 0s by default). Carries follow the feature dtype
+    # so f64 runs (the golden gradient-equality test) stay f64 throughout.
+    fdtype = (data.dtype if jnp.issubdtype(data.dtype, jnp.floating)
+              else jnp.float32)
+    w0 = jnp.full((batch, cfg.rec_w_dim), cfg.first_rec, fdtype)
+    h0 = jnp.zeros((batch, cfg.rec_hidden), fdtype)
+    mask0 = jnp.ones((batch, 1), fdtype)
+    sprod0 = jnp.ones((batch, cfg.rec_s_dim), fdtype)
 
     step_keys = jax.random.split(key, T * 5).reshape((T, 5) + key.shape)
 
@@ -182,8 +185,8 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
                 {"params": params["baseline_rec"]},
                 None, z_s, stop_grad(h_z_new))
         else:
-            bs_t = jnp.zeros((batch, 1), jnp.float32)
-            br_t = jnp.zeros((batch, 1), jnp.float32)
+            bs_t = jnp.zeros((batch, 1), fdtype)
+            br_t = jnp.zeros((batch, 1), fdtype)
 
         # Cumulative stop mask (model.py:852).
         new_mask = jnp.minimum(mask, s_binary)
@@ -196,7 +199,7 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
     _, outs = jax.lax.scan(body, init, (step_keys, jnp.arange(T)))
 
     stop_masks = jnp.concatenate(
-        [jnp.ones((1, batch, 1), jnp.float32), outs.new_mask], axis=0)
+        [jnp.ones((1, batch, 1), fdtype), outs.new_mask], axis=0)
     # The final mask must always be zero (model.py:870) so every example's
     # y-mask selects a step.
     stop_masks = stop_masks.at[-1].set(0.0)

@@ -103,8 +103,9 @@ def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
     s_bits = stop_grad(ex.stop_feats)   # (T, B, 1)
 
     # The query each sender turn actually saw (model.py:786-787, 803).
+    # Dtypes follow the recorded bits so f64 runs stay f64 end to end.
     w_prev = jnp.concatenate(
-        [jnp.full((1, batch, cfg.rec_w_dim), cfg.first_rec, jnp.float32),
+        [jnp.full((1, batch, cfg.rec_w_dim), cfg.first_rec, w_bits.dtype),
          w_bits[:-1]], axis=0)
 
     # ---- Phase B: differentiable batched recompute ----
@@ -132,7 +133,7 @@ def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
         z_probs = jnp.zeros_like(z_logits)
 
     # GRU-only differentiable hidden chain over the recorded messages.
-    h0 = jnp.zeros((batch, cfg.rec_hidden), jnp.float32)
+    h0 = jnp.zeros((batch, cfg.rec_hidden), z_bits.dtype)
     def gru_step(h, z):
         h2 = rec_apply("gru", z, h)
         return h2, h2

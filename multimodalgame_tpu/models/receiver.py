@@ -109,7 +109,7 @@ class Receiver(nn.Module):
         else:
             k_desc = self.y1_kernel[self.hid_dim:]        # (desc, hid)
             cache["desc_proj"] = (
-                jnp.dot(desc, k_desc, preferred_element_type=jnp.float32))
+                jnp.dot(desc, k_desc, preferred_element_type=desc.dtype))
         return cache
 
     def gru(self, z: jnp.ndarray, h_z: jnp.ndarray) -> jnp.ndarray:
@@ -161,14 +161,14 @@ class Receiver(nn.Module):
             y_hid = jax.nn.relu(
                 jnp.einsum("bdv,vh->bdh", weighted_desc, k_desc)
                 + jnp.dot(h_z_new, k_h,
-                          preferred_element_type=jnp.float32)[:, None, :]
+                          preferred_element_type=h_z_new.dtype)[:, None, :]
                 + self.y1_bias)
         else:
             # y1 with build_inp concat order [h_z, desc] (model.py:548).
             k_h = self.y1_kernel[:self.hid_dim]
             y_hid = jax.nn.relu(
                 jnp.dot(h_z_new, k_h,
-                        preferred_element_type=jnp.float32)[:, None, :]
+                        preferred_element_type=h_z_new.dtype)[:, None, :]
                 + cache["desc_proj"][None]
                 + self.y1_bias)                           # (B, D, hid)
 
@@ -183,7 +183,7 @@ class Receiver(nn.Module):
                                 weighted_desc)
         else:
             wd_inp = jnp.dot(y_scores.reshape(-1, num_desc), desc,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=desc.dtype)
 
         h_w = jnp.tanh(self.w_h(h_z_new) + self.w_d(wd_inp))
         w_logits = self.w(h_w)
