@@ -31,7 +31,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def measure_tpu_steps_per_sec(chunk_steps: int = 50,
-                              num_chunks: int = 20) -> float:
+                              num_chunks: int = 20, batch: int = 64,
+                              compute_dtype: str = "float32") -> float:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -49,9 +50,10 @@ def measure_tpu_steps_per_sec(chunk_steps: int = 50,
         sender_out_dim=32, rec_w_dim=32, rec_hidden=64, wv_dim=100,
         max_exchange=10, fixed_exchange=False,
         entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
-        learning_rate=1e-4, optim_type="RMSprop")
+        learning_rate=1e-4, optim_type="RMSprop",
+        compute_dtype=compute_dtype)
     modules = AgentModules(cfg)
-    num_classes, batch = 30, 64
+    num_classes = 30
 
     params = init_params(modules, jax.random.PRNGKey(0),
                          num_classes=num_classes)
@@ -204,5 +206,19 @@ def main() -> None:
     }))
 
 
+def sweep() -> None:
+    """Batch/precision sweep (PERFORMANCE.md scaling table): prints one
+    JSON line per (batch, compute_dtype) point."""
+    for batch in (64, 256, 1024, 4096):
+        for dtype in ("float32", "bfloat16"):
+            v = measure_tpu_steps_per_sec(batch=batch, compute_dtype=dtype)
+            print(json.dumps({"batch": batch, "compute_dtype": dtype,
+                              "steps_per_sec": round(v, 1),
+                              "examples_per_sec": round(v * batch, 0)}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep()
+    else:
+        main()

@@ -124,6 +124,10 @@ def _registry() -> Dict[str, FlagDef]:
     # Extension: master PRNG seed for parameter init and sampling streams
     # (the reference relies on torch's process-global RNG and has no flag).
     define("random_seed", "integer", 0)
+    # Extension: agent compute precision (see game/config.py). bfloat16
+    # keeps f32 parameters/losses but runs the conversation on the MXU's
+    # native matmul dtype — worthwhile at large batch sizes.
+    define("compute_dtype", "enum", "float32", ["float32", "bfloat16"])
 
     # Display settings (model.py:1665-1670)
     define("env", "string", "main")

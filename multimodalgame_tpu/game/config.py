@@ -60,6 +60,12 @@ class GameConfig:
     optim_type: str = "RMSprop"
     learning_rate: float = 1e-4
 
+    # TPU-native extension: agent compute precision. "bfloat16" runs the
+    # conversation (matmuls, GRU, heads, sampling) in bf16 with f32
+    # parameters and f32 loss algebra — the MXU-native mixed-precision
+    # recipe for large-batch configs. No reference counterpart.
+    compute_dtype: str = "float32"
+
     @classmethod
     def from_flags(cls, flags) -> "GameConfig":
         names = {f.name for f in dataclasses.fields(cls)}

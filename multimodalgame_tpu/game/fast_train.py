@@ -83,9 +83,19 @@ def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
                         desc_set_padded=None, desc_set_mask=None,
                         data_context=None
                         ) -> Tuple[jnp.ndarray, TrainMetrics]:
+    from multimodalgame_tpu.game.train import cast_floating
+
     cfg = modules.cfg
     T = cfg.max_exchange
     batch = data.shape[0]
+
+    if cfg.compute_dtype == "bfloat16":
+        assert sampler != "pallas", \
+            "the pallas sampler is f32-only; use the scan sampler with bf16"
+        (params, data, desc, desc_set_padded, desc_set_mask,
+         data_context) = cast_floating(
+            (params, data, desc, desc_set_padded, desc_set_mask,
+             data_context), jnp.bfloat16)
 
     # ---- Phase A: sampled conversation, gradient-free ----
     if sampler == "pallas":
@@ -161,4 +171,6 @@ def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
         sen_feats=z_bits, sen_probs=z_probs, rec_feats=w_bits,
         rec_probs=w_probs, y=y, bs=bs, br=br, n_steps=ex.n_steps,
         attn_scores=attn)
+    if cfg.compute_dtype == "bfloat16":
+        ex_out = cast_floating(ex_out, jnp.float32)
     return losses_from_exchange(cfg, ex_out, target, top_k, batch_denom)

@@ -80,6 +80,16 @@ class TrainMetrics(NamedTuple):
     exchange: ExchangeOutputs
 
 
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of ``tree`` to ``dtype`` (ints, bools,
+    and PRNG keys pass through). Differentiable: grads of f32 params
+    taken through a bf16 cast come back f32 — the standard
+    mixed-precision recipe."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
 def compute_losses(modules: AgentModules, params: Dict[str, Any],
                    data: jnp.ndarray, target: jnp.ndarray,
                    desc: jnp.ndarray, key: jax.Array,
@@ -89,11 +99,24 @@ def compute_losses(modules: AgentModules, params: Dict[str, Any],
                    top_k: int, batch_denom: int
                    ) -> Tuple[jnp.ndarray, TrainMetrics]:
     """One training forward pass: exchange + all loss terms
-    (the per-batch body of the reference run(), model.py:1229-1305)."""
+    (the per-batch body of the reference run(), model.py:1229-1305).
+
+    With ``cfg.compute_dtype="bfloat16"`` the conversation runs in bf16
+    (params/inputs cast at entry) while the loss algebra — advantage
+    normalization, entropies, masked averaging — stays f32 (record cast
+    back before loss assembly).
+    """
+    cfg = modules.cfg
+    if cfg.compute_dtype == "bfloat16":
+        params, data, desc, desc_set_padded, desc_set_mask, data_context = \
+            cast_floating((params, data, desc, desc_set_padded,
+                           desc_set_mask, data_context), jnp.bfloat16)
     ex = exchange(modules, params, data, desc, key, train=True,
                   desc_set_padded=desc_set_padded,
                   desc_set_mask=desc_set_mask, data_context=data_context)
-    return losses_from_exchange(modules.cfg, ex, target, top_k, batch_denom)
+    if cfg.compute_dtype == "bfloat16":
+        ex = cast_floating(ex, jnp.float32)
+    return losses_from_exchange(cfg, ex, target, top_k, batch_denom)
 
 
 def losses_from_exchange(cfg, ex: ExchangeOutputs, target: jnp.ndarray,

@@ -40,11 +40,15 @@ class TorchGRUCell(nn.Module):
         b_ih = self.param("b_ih", nn.initializers.zeros, (3 * H,))
         b_hh = self.param("b_hh", nn.initializers.zeros, (3 * H,))
 
-        gi = jnp.dot(x, w_ih, preferred_element_type=jnp.float32) + b_ih
-        gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+        # Accumulate gates in (at least) f32 — the MXU-native recipe for
+        # bf16 inputs — then return in the carry dtype so lax.scan carries
+        # stay fixed (f64 runs promote, bf16 runs cast back down).
+        acc = jnp.promote_types(jnp.float32, x.dtype)
+        gi = jnp.dot(x, w_ih, preferred_element_type=acc) + b_ih
+        gh = jnp.dot(h, w_hh, preferred_element_type=acc) + b_hh
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = nn.sigmoid(i_r + h_r)
         z = nn.sigmoid(i_z + h_z)
         n = jnp.tanh(i_n + r * h_n)
-        return (1.0 - z) * n + z * h
+        return ((1.0 - z) * n + z * h).astype(h.dtype)

@@ -19,9 +19,15 @@ def bernoulli_sample(key: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
 
     The comparison is non-differentiable; a stop_gradient makes the
     REINFORCE detach explicit (reference re-wraps samples as fresh
-    Variables)."""
-    u = jax.random.uniform(key, probs.shape, dtype=probs.dtype)
-    return jax.lax.stop_gradient((u < probs).astype(probs.dtype))
+    Variables).
+
+    Uniforms are drawn in (at least) f32 regardless of the compute dtype:
+    bf16 uniforms are 8-bit-coarse AND a different bit-mapping entirely,
+    which would decorrelate bf16 runs from f32 runs at the same key."""
+    u_dtype = jnp.promote_types(jnp.float32, probs.dtype)
+    u = jax.random.uniform(key, probs.shape, dtype=u_dtype)
+    return jax.lax.stop_gradient(
+        (u < probs.astype(u_dtype)).astype(probs.dtype))
 
 
 def hard_round(probs: jnp.ndarray) -> jnp.ndarray:
