@@ -89,6 +89,9 @@ def eval_dev(flags, modules, params, eval_exchange: Callable,
                            corrupt_mask=corrupt,
                            use_corrupt=corrupt is not None, **kwargs)
 
+        # One batched D2H transfer for the whole conversation record —
+        # per-array np.asarray would pay a tunnel round trip each.
+        ex = jax.device_get(ex)
         n = int(ex.n_steps)
         stop_masks = np.asarray(ex.stop_masks)
         s_masks = sliced_masks(stop_masks, n)

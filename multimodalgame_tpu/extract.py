@@ -102,6 +102,8 @@ def extract_binary(flags, modules, params, eval_exchange: Callable,
                            desc_set_padded=padded, desc_set_mask=pmask,
                            **kwargs)
 
+        # One batched D2H transfer for the whole conversation record.
+        ex = jax.device_get(ex)
         n = int(ex.n_steps)
         s_masks = sliced_masks(np.asarray(ex.stop_masks), n)
         sen_feats = np.asarray(ex.sen_feats)[:n]

@@ -99,7 +99,7 @@ class Predictor:
                             desc_set_mask=self._pmask,
                             data_context=None if data_context is None
                             else jnp.asarray(data_context))
-        dist = np.asarray(self._select(ex.y, ex.stop_masks))
+        dist, ex = jax.device_get((self._select(ex.y, ex.stop_masks), ex))
         n = int(ex.n_steps)
         return {
             "prediction": dist.argmax(axis=1),

@@ -239,6 +239,8 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
             batch_accuracy.append(float(m.accuracy))
 
             if step % flags.log_interval == 0:
+                # Batch all log-window metric fetches into one D2H transfer.
+                m = jax.device_get(m)
                 avg_batch_acc = float(np.array(
                     batch_accuracy[-flags.log_interval:]).mean())
                 prefix = "Epoch: {} Step: {} Batch: {} ".format(
@@ -288,7 +290,9 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
 
                 # Sampled + inferred conversation dumps (model.py:1411-1518).
                 if flags.exchange_samples > 0:
-                    ex = m.exchange
+                    # One batched D2H transfer per dump (the tunnel charges
+                    # ~33 ms per individual fetch).
+                    ex = jax.device_get(m.exchange)
                     flogger.Log(format_exchange_log(
                         "Train:", np.asarray(ex.sen_probs),
                         np.asarray(ex.sen_feats), np.asarray(ex.rec_probs),
@@ -297,9 +301,10 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                         flags.exchange_samples, flags.use_alpha))
 
                     key, sub = jax.random.split(key)
-                    ex = eval_exchange(params, data, desc_j, sub,
-                                       desc_set_padded=padded_j,
-                                       desc_set_mask=pmask_j, **kwargs)
+                    ex = jax.device_get(
+                        eval_exchange(params, data, desc_j, sub,
+                                      desc_set_padded=padded_j,
+                                      desc_set_mask=pmask_j, **kwargs))
                     flogger.Log(format_exchange_log(
                         "Eval:", np.asarray(ex.sen_probs),
                         np.asarray(ex.sen_feats), np.asarray(ex.rec_probs),
