@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from multimodalgame_tpu.game.agents import AgentModules
 from multimodalgame_tpu.game.masks import corrupt_message
-from multimodalgame_tpu.ops.sampling import bernoulli_sample, flipout, hard_round
+from multimodalgame_tpu.ops.sampling import (bernoulli_from_uniform,
+                                             flipout_from_uniform, hard_round)
 
 stop_grad = jax.lax.stop_gradient
 
@@ -123,9 +124,34 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
 
     step_keys = jax.random.split(key, T * 5).reshape((T, 5) + key.shape)
 
+    # Pre-draw every turn's uniforms in one vmapped PRNG invocation.
+    # ``uniform`` doesn't depend on the probabilities, and vmapping the
+    # same per-step keys produces bit-identical draws to calling inside
+    # the scan — but one batched threefry instead of 3-5 latency-bound
+    # hash chains per sequential turn.
+    u_dtype = jnp.promote_types(jnp.float32, fdtype)
+
+    def _draw(keys_t, dim):
+        return jax.vmap(
+            lambda k: jax.random.uniform(k, (batch, dim),
+                                         dtype=u_dtype))(keys_t)
+
+    uniforms: Dict[str, jnp.ndarray] = {}
+    if train:
+        uniforms["s"] = _draw(step_keys[:, 2], cfg.rec_s_dim)
+        if cfg.use_binary:
+            uniforms["z"] = _draw(step_keys[:, 0], cfg.sender_out_dim)
+            uniforms["w"] = _draw(step_keys[:, 3], cfg.rec_w_dim)
+    if cfg.use_binary and cfg.flipout_sen is not None and (
+            train or cfg.flipout_dev):
+        uniforms["fz"] = _draw(step_keys[:, 1], cfg.sender_out_dim)
+    if cfg.use_binary and cfg.flipout_rec is not None and (
+            train or cfg.flipout_dev):
+        uniforms["fw"] = _draw(step_keys[:, 4], cfg.rec_w_dim)
+
     def body(carry, xs):
         h_z, w_prev, mask, sprod = carry
-        keys, t = xs
+        u, t = xs
 
         # --- Sender turn (model.py:806-811) ---
         z_r = stop_grad(w_prev)
@@ -133,11 +159,12 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
         if cfg.use_binary:
             z_probs = jax.nn.sigmoid(sen_logits)
             if train:
-                z_binary = bernoulli_sample(keys[0], z_probs)
+                z_binary = bernoulli_from_uniform(u["z"], z_probs)
             else:
                 z_binary = hard_round(z_probs)
             if cfg.flipout_sen is not None and (train or cfg.flipout_dev):
-                z_binary = flipout(keys[1], z_binary, cfg.flipout_sen)
+                z_binary = flipout_from_uniform(u["fz"], z_binary,
+                                                cfg.flipout_sen)
         else:
             z_binary = sen_logits
             z_probs = jnp.zeros_like(sen_logits)
@@ -152,7 +179,7 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
         # (optionally cumulative) stop probability (model.py:414-429).
         s_prob = jax.nn.sigmoid(s_logits)
         if train:
-            s_binary = bernoulli_sample(keys[2], s_prob)
+            s_binary = bernoulli_from_uniform(u["s"], s_prob)
             sprod_new = sprod
         else:
             if cfg.s_prob_prod:
@@ -165,11 +192,12 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
         if cfg.use_binary:
             w_probs = jax.nn.sigmoid(w_logits)
             if train:
-                w_feats = bernoulli_sample(keys[3], w_probs)
+                w_feats = bernoulli_from_uniform(u["w"], w_probs)
             else:
                 w_feats = hard_round(w_probs)
             if cfg.flipout_rec is not None and (train or cfg.flipout_dev):
-                w_feats = flipout(keys[4], w_feats, cfg.flipout_rec)
+                w_feats = flipout_from_uniform(u["fw"], w_feats,
+                                               cfg.flipout_rec)
             if cfg.ignore_receiver:
                 w_feats = jnp.zeros_like(w_feats)
         else:
@@ -196,7 +224,7 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
         return (h_z_new, w_feats, new_mask, sprod_new), out
 
     init = (h0, w0, mask0, sprod0)
-    _, outs = jax.lax.scan(body, init, (step_keys, jnp.arange(T)))
+    _, outs = jax.lax.scan(body, init, (uniforms, jnp.arange(T)))
 
     stop_masks = jnp.concatenate(
         [jnp.ones((1, batch, 1), fdtype), outs.new_mask], axis=0)

@@ -261,8 +261,85 @@ class ScanMetrics(NamedTuple):
     accuracy: jnp.ndarray      # (K,)
 
 
+def _opt_state_codec(state, params):
+    """Build (to_flat, from_flat) converters that ravel every
+    param-structured slot of an optax state (RMSprop ``nu``, Adam
+    ``mu``/``nu``) into one vector, leaving scalar slots (``count``) and
+    empty states untouched. Structure-only — safe to call on tracers."""
+    from jax.flatten_util import ravel_pytree
+    tdef = jax.tree_util.tree_structure(params)
+
+    def is_match(x):
+        return jax.tree_util.tree_structure(x) == tdef
+
+    leaves, sdef = jax.tree_util.tree_flatten(state, is_leaf=is_match)
+    matched = [is_match(leaf) for leaf in leaves]
+    unravels = [ravel_pytree(leaf)[1] if m else None
+                for leaf, m in zip(leaves, matched)]
+
+    def to_flat(s):
+        ls = jax.tree_util.tree_flatten(s, is_leaf=is_match)[0]
+        return sdef.unflatten([
+            ravel_pytree(leaf)[0] if m else leaf
+            for leaf, m in zip(ls, matched)])
+
+    def from_flat(fs):
+        ls = jax.tree_util.tree_leaves(fs)
+        return sdef.unflatten([
+            u(leaf) if m else leaf
+            for leaf, u, m in zip(ls, unravels, matched)])
+
+    return to_flat, from_flat
+
+
+def _flat_carry(params, opt_states, update_names):
+    """Ravel each trainable agent's parameter tree (and the
+    param-structured slots of its optimizer state) into one vector.
+
+    Updating an agent as a single contiguous vector turns the per-step
+    optimizer work into ~6 large elementwise/reduce ops instead of ~6 ops
+    × every leaf — the tiny-kernel latency (not FLOPs) is what dominates
+    the update cost at this model size. Numerics are identical except for
+    the float reassociation inside ``clip_by_global_norm``'s sum of
+    squares (one fused reduction instead of a per-leaf partial-sum tree).
+
+    Returns ``(flat_params, flat_opts, rebuild, unflatten)`` where
+    ``rebuild(flat_params)`` reconstitutes the full params dict for the
+    loss and ``unflatten(flat_params, flat_opts)`` converts the carry back
+    to the external tree layout.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat_p = {}
+    flat_s = {}
+    unravel = {}
+    codecs = {}
+    for name in update_names:
+        flat_p[name], unravel[name] = ravel_pytree(params[name])
+        codecs[name] = _opt_state_codec(opt_states[name], params[name])
+        flat_s[name] = codecs[name][0](opt_states[name])
+    static = {n: params[n] for n in params if n not in update_names}
+
+    def rebuild(fp):
+        full = dict(static)
+        for name in update_names:
+            full[name] = unravel[name](fp[name])
+        return full
+
+    def unflatten(fp, fs):
+        out_p = dict(static)
+        out_s = dict(opt_states)
+        for name in update_names:
+            out_p[name] = unravel[name](fp[name])
+            out_s[name] = codecs[name][1](fs[name])
+        return out_p, out_s
+
+    return flat_p, flat_s, rebuild, unflatten
+
+
 def make_multistep_train_step(modules: AgentModules, top_k: int,
-                              batch_denom: int, fast: Any = "auto"):
+                              batch_denom: int, fast: Any = "auto",
+                              flat: bool = True):
     """Device-side training loop: one compiled program runs K optimizer
     updates via ``lax.scan`` over K staged batches.
 
@@ -272,6 +349,11 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
     The reference's loop pays a host round-trip *per sample draw*
     (SURVEY §3.1); the single-step path pays one per update; this path
     pays one per K updates.
+
+    ``flat=True`` (default) carries each agent's parameters/optimizer
+    state through the scan as one raveled vector (see ``_flat_carry``) —
+    same math, far fewer tiny kernels per update. The external tree API
+    is unchanged (conversion happens once per chunk).
 
     Returns ``chunk(params, opt_states, data (K,B,...), target (K,B),
     desc, keys (K,key), desc_set_padded=None, desc_set_mask=None,
@@ -285,11 +367,19 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def chunk(params, opt_states, data, target, desc, keys,
               desc_set_padded=None, desc_set_mask=None, data_context=None):
+        if flat:
+            flat_p, flat_s, rebuild, unflatten = _flat_carry(
+                params, opt_states, update_names)
+        else:
+            flat_p, flat_s = params, opt_states
+            rebuild = lambda p: p  # noqa: E731
+            unflatten = lambda p, s: (p, s)  # noqa: E731
+
         def body(carry, xs):
             params, opt_states = carry
             b_data, b_target, key, b_ctx = xs
             grads, m = jax.grad(
-                lambda p: loss_fn(p, b_data, b_target, desc, key,
+                lambda p: loss_fn(rebuild(p), b_data, b_target, desc, key,
                                   desc_set_padded, desc_set_mask, b_ctx,
                                   top_k, batch_denom),
                 has_aux=True)(params)
@@ -304,7 +394,8 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
             return (new_params, new_opts), out
 
         xs = (data, target, keys, data_context)
-        (p, o), metrics = jax.lax.scan(body, (params, opt_states), xs)
+        (p, o), metrics = jax.lax.scan(body, (flat_p, flat_s), xs)
+        p, o = unflatten(p, o)
         return p, o, metrics
 
     return chunk
@@ -348,7 +439,8 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
 
 
 def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
-                                      batch_denom: int, fast: Any = "auto"):
+                                      batch_denom: int, fast: Any = "auto",
+                                      flat: bool = True):
     """Device-side K-step training loop over a device-resident dataset.
 
     Like :func:`make_multistep_train_step`, but each scan step gathers its
@@ -372,6 +464,13 @@ def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
     def chunk(params, opt_states, feats, targets, idx, desc, key,
               feats_context=None, desc_set_padded=None, desc_set_mask=None):
         keys = jax.random.split(key, idx.shape[0])
+        if flat:
+            flat_p, flat_s, rebuild, unflatten = _flat_carry(
+                params, opt_states, update_names)
+        else:
+            flat_p, flat_s = params, opt_states
+            rebuild = lambda p: p  # noqa: E731
+            unflatten = lambda p, s: (p, s)  # noqa: E731
 
         def body(carry, xs):
             params, opt_states = carry
@@ -381,7 +480,7 @@ def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
             ctx = (feats_context[b_idx]
                    if feats_context is not None else None)
             grads, m = jax.grad(
-                lambda p: loss_fn(p, data, target, desc, b_key,
+                lambda p: loss_fn(rebuild(p), data, target, desc, b_key,
                                   desc_set_padded, desc_set_mask, ctx,
                                   top_k, batch_denom),
                 has_aux=True)(params)
@@ -395,8 +494,9 @@ def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
                               m.loss_bas_rec, m.loss_bas_sen, m.accuracy)
             return (new_params, new_opts), out
 
-        (p, o), metrics = jax.lax.scan(body, (params, opt_states),
+        (p, o), metrics = jax.lax.scan(body, (flat_p, flat_s),
                                        (idx, keys))
+        p, o = unflatten(p, o)
         return p, o, metrics
 
     return chunk

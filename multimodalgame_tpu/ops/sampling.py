@@ -30,6 +30,29 @@ def bernoulli_sample(key: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
         (u < probs.astype(u_dtype)).astype(probs.dtype))
 
 
+def bernoulli_from_uniform(u: jnp.ndarray, probs: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Consume a pre-drawn uniform: produces exactly
+    ``bernoulli_sample(key, probs)``'s bits when
+    ``u = jax.random.uniform(key, probs.shape, f32-or-wider)``.
+
+    The exchange scan pre-draws every turn's uniforms in one vmapped
+    call over the per-step keys (game/exchange.py) — the uniforms don't
+    depend on the probabilities, so hoisting the threefry hash chains out
+    of the sequential scan is free parallelism: one batched PRNG
+    invocation instead of 3-5 latency-bound hash chains per turn."""
+    return jax.lax.stop_gradient(
+        (u < probs.astype(u.dtype)).astype(probs.dtype))
+
+
+def flipout_from_uniform(u: jnp.ndarray, binary: jnp.ndarray,
+                         p: float) -> jnp.ndarray:
+    """`flipout` against a pre-drawn uniform (same bits as
+    ``flipout(key, binary, p)`` for ``u = uniform(key, shape)``)."""
+    mask = bernoulli_from_uniform(u, jnp.full_like(binary, p))
+    return jnp.abs(binary - mask)
+
+
 def hard_round(probs: jnp.ndarray) -> jnp.ndarray:
     """Deterministic eval-mode quantization, ``torch.round`` semantics
     (half rounds up; model.py:229, 427, 462)."""
