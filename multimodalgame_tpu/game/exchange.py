@@ -76,7 +76,8 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
              desc_set_padded: Optional[jnp.ndarray] = None,
              desc_set_mask: Optional[jnp.ndarray] = None,
              data_context: Optional[jnp.ndarray] = None,
-             corrupt_mask: Optional[jnp.ndarray] = None) -> ExchangeOutputs:
+             corrupt_mask: Optional[jnp.ndarray] = None,
+             score_baselines: bool = True) -> ExchangeOutputs:
     """Run a batched conversation.
 
     Args:
@@ -96,6 +97,11 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
         corrupt_mask: optional ``(w_dim,)`` bit-flip mask applied to every
             sender message (eval-time channel fault injection,
             model.py:814-820).
+        score_baselines: static — when False the value networks are not
+            scored inside the scan (``bs``/``br`` return zeros). The fast
+            training path recomputes both baselines batched over T in its
+            phase B (game/fast_train.py), so scoring them sequentially
+            here would be pure waste.
     """
     cfg = modules.cfg
     batch = data.shape[0]
@@ -205,7 +211,7 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
             w_probs = jnp.zeros_like(w_logits)
 
         # --- Baseline scoring, train only (model.py:831-843) ---
-        if train:
+        if train and score_baselines:
             bs_t = modules.baseline_sen.apply(
                 {"params": params["baseline_sen"]},
                 stop_grad(h_x), z_r, None)

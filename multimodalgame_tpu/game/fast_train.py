@@ -107,7 +107,8 @@ def compute_losses_fast(modules: AgentModules, params: Dict[str, Any],
         ex = exchange(modules, frozen, data, desc, key, train=True,
                       desc_set_padded=desc_set_padded,
                       desc_set_mask=desc_set_mask,
-                      data_context=data_context)
+                      data_context=data_context,
+                      score_baselines=False)
     z_bits = stop_grad(ex.sen_feats)    # (T, B, W) post corruption/flip
     w_bits = stop_grad(ex.rec_feats)    # (T, B, W) post flip/ignore
     s_bits = stop_grad(ex.stop_feats)   # (T, B, 1)
