@@ -177,6 +177,64 @@ def measure_epoch_throughput(num_epochs: int = 5) -> dict:
     }
 
 
+def measure_population(n: int = 16, chunk_steps: int = 50,
+                       num_chunks: int = 10, batch: int = 64) -> dict:
+    """Vmapped seed-sweep throughput (parallel/population.py): N canonical
+    Adaptive games training simultaneously on one chip."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from multimodalgame_tpu.game.agents import AgentModules
+    from multimodalgame_tpu.game.config import GameConfig
+    from multimodalgame_tpu.parallel.population import (
+        init_population, init_population_opt_states,
+        make_population_train_step, split_population_keys)
+
+    cfg = GameConfig(
+        img_feat="avgpool_512", img_feat_dim=512, img_h_dim=256,
+        sender_out_dim=32, rec_w_dim=32, rec_hidden=64, wv_dim=100,
+        max_exchange=10, fixed_exchange=False,
+        entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
+        learning_rate=1e-4, optim_type="RMSprop")
+    modules = AgentModules(cfg)
+    num_classes = 30
+
+    pop = init_population(modules, jax.random.PRNGKey(0), n,
+                          num_classes=num_classes)
+    opts = init_population_opt_states(cfg, pop)
+    chunk = make_population_train_step(modules, top_k=6, batch_denom=batch)
+
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(np.broadcast_to(
+        rng.randn(batch, 512), (chunk_steps, batch, 512)).copy(),
+        jnp.float32)
+    target = jnp.asarray(np.broadcast_to(
+        rng.randint(0, num_classes, size=batch),
+        (chunk_steps, batch)).copy())
+    desc = jnp.asarray(rng.randn(num_classes, 100), jnp.float32)
+
+    def keys(seed):
+        return split_population_keys(jax.random.PRNGKey(seed),
+                                     chunk_steps, n)
+
+    pop, opts, m = chunk(pop, opts, data, target, desc, keys(100))
+    float(m.loss_rec[-1, 0])
+    t0 = time.perf_counter()
+    for i in range(num_chunks):
+        pop, opts, m = chunk(pop, opts, data, target, desc, keys(i))
+    float(m.loss_rec[-1, 0])
+    elapsed = time.perf_counter() - t0
+    game_steps = num_chunks * chunk_steps
+    return {
+        "population": n,
+        "game_steps_per_sec": round(game_steps / elapsed, 1),
+        "total_updates_per_sec": round(game_steps * n / elapsed, 1),
+        "total_examples_per_sec": round(game_steps * n * batch / elapsed),
+    }
+
+
 def load_or_measure_baseline() -> float:
     path = os.path.join(_REPO, "BASELINE_MEASURED.json")
     if os.path.exists(path):
@@ -220,5 +278,8 @@ def sweep() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "sweep":
         sweep()
+    elif len(sys.argv) > 1 and sys.argv[1] == "population":
+        for n in (1, 4, 16, 64):
+            print(json.dumps(measure_population(n)))
     else:
         main()

@@ -128,6 +128,12 @@ def _registry() -> Dict[str, FlagDef]:
     # keeps f32 parameters/losses but runs the conversation on the MXU's
     # native matmul dtype — worthwhile at large batch sizes.
     define("compute_dtype", "enum", "float32", ["float32", "bfloat16"])
+    # Extension: population size for the vmapped seed/lr sweep driver
+    # (python -m multimodalgame_tpu.sweep; parallel/population.py).
+    define("population", "integer", 8)
+    # Extension: comma-separated learning-rate multipliers, one per
+    # member (e.g. "0.5,1,2"); cycled/truncated to the population size.
+    define("lr_scales", "string", None)
 
     # Display settings (model.py:1665-1670)
     define("env", "string", "main")

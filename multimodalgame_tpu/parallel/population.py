@@ -1,0 +1,142 @@
+"""Population training: N independent games in one compiled program.
+
+A TPU-native capability with no reference counterpart: the reference
+trains one (Sender, Receiver, 2×Baseline) quadruple per process
+(model.py:1001-1592); sweeping seeds or learning rates means N serial
+runs. Here the whole population trains simultaneously — parameters carry
+a leading ``(N, ...)`` member axis and the per-step (gradient + four
+clipped optimizer updates) is ``jax.vmap``-ed over it, so every small
+matmul in the game becomes an ``N``-wide batched op. At the canonical
+scale one v5e chip is latency- (not FLOP-) bound, so a 16-member
+population costs far less than 16× a single game (see PERFORMANCE.md).
+
+Semantics: members share the data stream (same batches in the same
+order — the reference's seeded shuffle is a property of the dataset
+epoch, not the model) but differ in parameter init seeds, per-step
+sampling keys, and optionally per-member learning-rate scales.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodalgame_tpu.game.agents import AgentModules, init_params
+from multimodalgame_tpu.game.train import (AGENT_NAMES, ScanMetrics,
+                                           _loss_fn_for, build_optimizer,
+                                           init_opt_states)
+
+
+def init_population(modules: AgentModules, key: jax.Array, n: int,
+                    num_classes: int, max_words: int = 3) -> Dict[str, Any]:
+    """Stacked parameter trees for ``n`` members: leaf shapes ``(n, ...)``.
+    Member ``i`` equals ``init_params(modules, split(key, n)[i], ...)``."""
+    keys = jax.random.split(key, n)
+    return jax.vmap(
+        lambda k: init_params(modules, k, num_classes=num_classes,
+                              max_words=max_words))(keys)
+
+
+def init_population_opt_states(cfg, pop_params: Dict[str, Any]
+                               ) -> Dict[str, Any]:
+    """Per-member optimizer states, stacked like the parameters."""
+    return jax.vmap(lambda p: init_opt_states(cfg, p))(pop_params)
+
+
+def member_params(pop_params: Dict[str, Any], i: int) -> Dict[str, Any]:
+    """Extract member ``i``'s parameter trees (e.g. to checkpoint the
+    sweep winner in the standard single-game layout)."""
+    return jax.tree_util.tree_map(lambda x: x[i], pop_params)
+
+
+def split_population_keys(key: jax.Array, k: int, n: int) -> jax.Array:
+    """``(K, N)`` per-step per-member sampling keys."""
+    return jax.random.split(key, k * n).reshape(k, n, -1)
+
+
+def make_population_train_step(modules: AgentModules, top_k: int,
+                               batch_denom: int, fast: Any = "auto"):
+    """Build the jitted population chunk trainer.
+
+    Returns ``chunk(pop_params, pop_opts, data (K,B,...), target (K,B),
+    desc, keys (K,N,keydim), lr_scale=None (N,))
+    -> (pop_params, pop_opts, ScanMetrics with (K, N) leaves)``.
+
+    ``lr_scale`` multiplies each member's updates (the learning rate
+    enters every supported rule — SGD/Adam/RMSprop — as a final linear
+    scale), turning the seed sweep into a joint seed × learning-rate
+    sweep at zero extra compute.
+    """
+    cfg = modules.cfg
+    tx = build_optimizer(cfg)
+    update_names = AGENT_NAMES if cfg.use_binary else ("receiver",)
+    loss_fn = _loss_fn_for(modules, fast)
+
+    def member_update(params, opt_states, data, target, desc, key, scale):
+        grads, m = jax.grad(
+            lambda p: loss_fn(p, data, target, desc, key, None, None,
+                              None, top_k, batch_denom),
+            has_aux=True)(params)
+        new_params = dict(params)
+        new_opts = dict(opt_states)
+        for name in update_names:
+            updates, new_opts[name] = tx.update(
+                grads[name], opt_states[name], params[name])
+            updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+            new_params[name] = optax.apply_updates(params[name], updates)
+        out = ScanMetrics(m.loss_rec, m.loss_sen, m.nll_loss,
+                          m.loss_bas_rec, m.loss_bas_sen, m.accuracy)
+        return new_params, new_opts, out
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def chunk(pop_params, pop_opts, data, target, desc, keys,
+              lr_scale: Optional[jnp.ndarray] = None):
+        n = keys.shape[1]
+        scale = (jnp.ones((n,), jnp.float32) if lr_scale is None
+                 else jnp.asarray(lr_scale, jnp.float32))
+
+        def body(carry, xs):
+            pp, po = carry
+            b_data, b_target, b_keys = xs
+            npp, npo, m = jax.vmap(
+                member_update,
+                in_axes=(0, 0, None, None, None, 0, 0))(
+                pp, po, b_data, b_target, desc, b_keys, scale)
+            return (npp, npo), m
+
+        (pp, po), metrics = jax.lax.scan(body, (pop_params, pop_opts),
+                                         (data, target, keys))
+        return pp, po, metrics
+
+    return chunk
+
+
+def make_population_eval(modules: AgentModules, top_k: int):
+    """Jitted per-member dev accuracy on one batch: returns ``(N,)``
+    top-k correct counts (eval-mode exchange, masked prediction
+    selection — the same math as eval.py per member)."""
+    from multimodalgame_tpu.game.exchange import exchange
+    from multimodalgame_tpu.game.losses import get_rec_outp
+    from multimodalgame_tpu.game.masks import assemble_loss_masks
+    cfg = modules.cfg
+
+    def member_correct(params, data, target, desc, key):
+        ex = exchange(modules, params, data, desc, key, train=False)
+        masks = (None if cfg.fixed_exchange
+                 else assemble_loss_masks(ex.stop_masks))
+        outp, _ = get_rec_outp(ex.y, None if masks is None else masks.y)
+        dist = jax.nn.log_softmax(outp, axis=-1)
+        _, top_ind = jax.lax.top_k(dist, top_k)
+        hit = jnp.any(top_ind == target[:, None], axis=-1)
+        return jnp.sum(hit.astype(jnp.int32))
+
+    @jax.jit
+    def batch_correct(pop_params, data, target, desc, keys):
+        return jax.vmap(member_correct, in_axes=(0, None, None, None, 0))(
+            pop_params, data, target, desc, keys)
+
+    return batch_correct

@@ -1,0 +1,199 @@
+"""Population sweep driver: train N games at once, report per-member dev
+accuracy, checkpoint the winner.
+
+A TPU-native extension with no reference counterpart (the reference runs
+one game per process; sweeping seeds means N serial ``run()`` invocations,
+model.py:1001-1592). Here the whole population trains in one compiled
+program per chunk (parallel/population.py) — at the canonical scale a
+16-member sweep costs ~2-3× one game's wall time, not 16× (PERFORMANCE.md).
+
+CLI (reference-style flags plus the sweep extensions)::
+
+    python -m multimodalgame_tpu.sweep -model_type Adaptive \
+        -train_file ... -dev_file ... -descr_train ... -descr_dev ... \
+        -population 16 [-lr_scales 0.5,1,2] [-max_epoch 50]
+
+Prints one JSON line per member (seed index, lr scale, best dev top-k)
+and a final summary line; saves the winner's parameters in the standard
+single-game checkpoint layout at ``<checkpoint>_best``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalgame_tpu.config import Flags
+from multimodalgame_tpu.data.descriptions import load_descriptions
+from multimodalgame_tpu.data.device_dataset import DeviceDataset
+from multimodalgame_tpu.game.agents import AgentModules
+from multimodalgame_tpu.game.config import GameConfig
+from multimodalgame_tpu.game.driver import decompose_chunks
+from multimodalgame_tpu.game.train import init_opt_states
+from multimodalgame_tpu.parallel.population import (
+    init_population, init_population_opt_states, make_population_eval,
+    make_population_train_step, member_params, split_population_keys)
+from multimodalgame_tpu.utils.checkpoint import save_checkpoint
+from multimodalgame_tpu.utils.logging import FileLogger
+
+
+def parse_lr_scales(spec: Optional[str], n: int) -> Optional[np.ndarray]:
+    """``"0.5,1,2"`` -> ``(n,)`` multipliers, cycled to the population."""
+    if not spec:
+        return None
+    vals = [float(v) for v in spec.split(",") if v.strip()]
+    return np.asarray([vals[i % len(vals)] for i in range(n)], np.float32)
+
+
+def run_sweep(flags: Flags, max_steps: Optional[int] = None,
+              eval_every: Optional[int] = None) -> dict:
+    """Train the population; returns the summary dict (per-member dev
+    accuracies, winner index, timings)."""
+    flogger = FileLogger(flags.log_file)
+    n = flags.population
+    cfg = GameConfig.from_flags(flags)
+    modules = AgentModules(cfg)
+
+    desc_train = load_descriptions(flags.descr_train, flags.wv_type,
+                                   flags.wv_dim,
+                                   glove_path=flags.glove_path)
+    desc_dev = load_descriptions(flags.descr_dev, flags.wv_type,
+                                 flags.wv_dim, glove_path=flags.glove_path)
+    if cfg.desc_attn or flags.attn_extra_context:
+        raise NotImplementedError(
+            "population sweep covers the non-attention presets")
+
+    train_ds = DeviceDataset.from_hdf5(flags.train_file, flags.img_feat,
+                                       map_labels=desc_train.map_labels)
+    dev_ds = DeviceDataset.from_hdf5(flags.dev_file, flags.img_feat,
+                                     map_labels=desc_dev.map_labels)
+    desc_j = jnp.asarray(desc_train.desc)
+    desc_dev_j = jnp.asarray(desc_dev.desc)
+
+    pop_params = init_population(modules, jax.random.PRNGKey(
+        flags.random_seed), n, num_classes=desc_train.num_classes)
+    pop_opts = init_population_opt_states(cfg, pop_params)
+    chunk = make_population_train_step(modules, flags.top_k_train,
+                                       flags.batch_size)
+    batch_eval = make_population_eval(modules, flags.top_k_dev)
+    lr_scale = parse_lr_scales(flags.lr_scales, n)
+    lr_j = None if lr_scale is None else jnp.asarray(lr_scale)
+
+    def dev_accuracy(key) -> np.ndarray:
+        idx = dev_ds.epoch_indices(0, False, flags.batch_size_dev,
+                                   truncate_final_batch=True)
+        correct = np.zeros((n,), np.int64)
+        total = 0
+        for row in idx:
+            row = row[row >= 0]
+            key, sub = jax.random.split(key)
+            data = jnp.take(dev_ds.feats, jnp.asarray(row), axis=0)
+            target = jnp.take(dev_ds.targets, jnp.asarray(row), axis=0)
+            c = batch_eval(pop_params, data, target, desc_dev_j,
+                           jax.random.split(sub, n))
+            correct += np.asarray(c, np.int64)
+            total += len(row)
+        return correct / float(total)
+
+    flogger.Log("Population sweep: {} members, {} steps/epoch, flags: {}"
+                .format(n, train_ds.size // flags.batch_size,
+                        json.dumps({"population": n,
+                                    "lr_scales": flags.lr_scales,
+                                    "model_type": flags.model_type})))
+
+    key = jax.random.PRNGKey(flags.random_seed + 1)
+    best = np.zeros((n,), np.float64)
+    step = 0
+    epoch = 0
+    t0 = time.perf_counter()
+    eval_cadence = eval_every or flags.log_dev
+    done = False
+
+    while epoch < flags.max_epoch and not done:
+        plan = train_ds.epoch_indices(epoch, flags.shuffle_train,
+                                      flags.batch_size)
+        off = 0
+        while off < plan.shape[0]:
+            remaining = plan.shape[0] - off
+            until_eval = eval_cadence - (step % eval_cadence)
+            k = min(remaining, until_eval)
+            if max_steps is not None:
+                k = min(k, max_steps - step)
+            if k <= 0:
+                done = True
+                break
+            for size in decompose_chunks(k):
+                rows = jnp.asarray(plan[off:off + size])
+                data = jnp.take(train_ds.feats, rows.reshape(-1),
+                                axis=0).reshape(size, flags.batch_size, -1)
+                target = jnp.take(train_ds.targets, rows.reshape(-1),
+                                  axis=0).reshape(size, flags.batch_size)
+                key, sub = jax.random.split(key)
+                pop_params, pop_opts, sm = chunk(
+                    pop_params, pop_opts, data, target, desc_j,
+                    split_population_keys(sub, size, n), lr_j)
+                off += size
+                step += size
+            if step % eval_cadence == 0 or (max_steps is not None
+                                            and step >= max_steps):
+                key, sub = jax.random.split(key)
+                accs = dev_accuracy(sub)
+                best = np.maximum(best, accs)
+                flogger.Log("Step: {} per-member dev acc: {}".format(
+                    step, np.array2string(accs, precision=3)))
+            if max_steps is not None and step >= max_steps:
+                done = True
+                break
+        epoch += 1
+
+    key, sub = jax.random.split(key)
+    accs = dev_accuracy(sub)
+    best = np.maximum(best, accs)
+    elapsed = time.perf_counter() - t0
+
+    members = []
+    for i in range(n):
+        members.append({
+            "member": i,
+            "lr_scale": float(lr_scale[i]) if lr_scale is not None else 1.0,
+            "final_dev_acc": float(accs[i]),
+            "best_dev_acc": float(best[i]),
+        })
+        print(json.dumps(members[-1]))
+    winner = int(np.argmax(accs))
+
+    win_params = jax.device_get(member_params(pop_params, winner))
+    opt_states = init_opt_states(cfg, win_params)
+    save_checkpoint(flags.checkpoint + "_best",
+                    dict(step=step, best_dev_acc=float(accs[winner])),
+                    win_params, opt_states)
+
+    summary = {
+        "population": n,
+        "steps": step,
+        "winner": winner,
+        "winner_dev_acc": float(accs[winner]),
+        "wall_seconds": round(elapsed, 3),
+        "steps_per_sec_total": round(step * n / elapsed, 1),
+        "checkpoint": flags.checkpoint + "_best",
+    }
+    print(json.dumps(summary))
+    flogger.Log("Sweep summary: " + json.dumps(summary))
+    summary["members"] = members
+    return summary
+
+
+def main(argv=None) -> None:
+    from multimodalgame_tpu.config import flags_from_argv
+    flags = flags_from_argv(sys.argv[1:] if argv is None else argv)
+    run_sweep(flags)
+
+
+if __name__ == "__main__":
+    main()
