@@ -79,6 +79,22 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
     pop_params = init_population(modules, jax.random.PRNGKey(
         flags.random_seed), n, num_classes=desc_train.num_classes)
     pop_opts = init_population_opt_states(cfg, pop_params)
+
+    # Multi-chip: shard the member axis over the device mesh (zero
+    # collectives — members are independent); shared inputs replicate.
+    mesh = None
+    n_dev = jax.device_count()
+    if n_dev > 1 and n % n_dev == 0:
+        from multimodalgame_tpu.parallel.mesh import make_mesh, replicate
+        from multimodalgame_tpu.parallel.population import (
+            shard_population, shard_population_keys)
+        mesh = make_mesh(n_dev)
+        pop_params = shard_population(pop_params, mesh)
+        pop_opts = shard_population(pop_opts, mesh)
+        desc_j = replicate(desc_j, mesh)
+        place_keys = lambda k: shard_population_keys(k, mesh)  # noqa: E731
+    else:
+        place_keys = lambda k: k  # noqa: E731
     chunk = make_population_train_step(modules, flags.top_k_train,
                                        flags.batch_size)
     batch_eval = make_population_eval(modules, flags.top_k_dev)
@@ -137,7 +153,7 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
                 key, sub = jax.random.split(key)
                 pop_params, pop_opts, sm = chunk(
                     pop_params, pop_opts, data, target, desc_j,
-                    split_population_keys(sub, size, n), lr_j)
+                    place_keys(split_population_keys(sub, size, n)), lr_j)
                 off += size
                 step += size
             if step % eval_cadence == 0 or (max_steps is not None
