@@ -63,8 +63,6 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
              max_steps: Optional[int] = None) -> dict:
     """Train with the chunked device-side schedule; returns the same
     summary dict as the legacy loop in train.py."""
-    from multimodalgame_tpu.train import format_exchange_log
-
     cfg = modules.cfg
     ctx_key = flags.data_context if flags.attn_extra_context else None
     train_ds = DeviceDataset.from_hdf5(flags.train_file, flags.img_feat,
@@ -123,79 +121,14 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         pending_acc.clear()
 
     def log_window(t, i_batch, host, epoch):
-        """Emit the interval-log block from the unpacked payload
-        (reference model.py:1341-1542; same lines as the legacy loop)."""
+        """Emit the interval-log block from the unpacked payload via the
+        shared formatter (train.py:emit_log_window — same code path as
+        the legacy loop, so the log format cannot drift)."""
+        from multimodalgame_tpu.train import emit_log_window
         avg_batch_acc = float(np.asarray(
             batch_accuracy[-flags.log_interval:]).mean())
-        prefix = "Epoch: {} Step: {} Batch: {} ".format(epoch, t, i_batch)
-        flogger.Log(prefix + "Training Accuracy: {}".format(avg_batch_acc))
-        flogger.Log(prefix + "Loss Sender: {}".format(
-            float(host["loss_sen"])))
-        flogger.Log(prefix + "Loss Receiver (Y): {}".format(
-            float(host["nll_loss"])))
-        if flags.use_binary:
-            flogger.Log(prefix + "Loss Receiver (Z): {}".format(
-                float(host["loss_binary_rec"])))
-            if not flags.fixed_exchange:
-                flogger.Log(prefix + "Loss Receiver (S): {}".format(
-                    float(host["loss_binary_s"])))
-            flogger.Log(prefix + "Loss Baseline (S): {}".format(
-                float(host["loss_bas_sen"])))
-            flogger.Log(prefix + "Loss Baseline (R): {}".format(
-                float(host["loss_bas_rec"])))
-
-        flogger.Log("Predictions: {}".format(
-            np.stack([host["target"],
-                      host["argmax"].astype(np.int64)], 0)))
-
-        n_train = int(host["n_steps"])
-        if flags.use_binary:
-            ent_sen = host["ent_binary_sen"][:n_train]
-            if len(ent_sen) > 0:
-                log_ent = "Entropy Sender Binary"
-                for i, ent in enumerate(ent_sen):
-                    log_ent += "\n{}. {}".format(i, -float(ent))
-                flogger.Log(log_ent + "\n")
-            ent_rec = host["ent_binary_rec"][:max(n_train - 1, 0)]
-            if len(ent_rec) > 0:
-                log_ent = "Entropy Receiver Binary"
-                for i, ent in enumerate(ent_rec):
-                    log_ent += "\n{}. {}".format(i, -float(ent))
-                flogger.Log(log_ent + "\n")
-        ent_y = host["ent_y_rec"][:n_train]
-        if len(ent_y) > 0:
-            log_ent = "Entropy Receiver Predictions"
-            for i, ent in enumerate(ent_y):
-                log_ent += "\n{}. {}".format(i, -float(ent))
-            flogger.Log(log_ent + "\n")
-
-        if flags.exchange_samples > 0:
-            flogger.Log(format_exchange_log(
-                "Train:", host["train_sen_probs"], host["train_sen_feats"],
-                host["train_rec_probs"], host["train_rec_feats"],
-                host["train_stop_probs"], host["train_stop_masks_post"],
-                n_train, flags.exchange_samples, flags.use_alpha))
-            flogger.Log(format_exchange_log(
-                "Eval:", host["eval_sen_probs"], host["eval_sen_feats"],
-                host["eval_rec_probs"], host["eval_rec_feats"],
-                host["eval_stop_probs"], host["eval_stop_masks_post"],
-                int(host["eval_n_steps"]), flags.exchange_samples,
-                flags.use_alpha))
-
-        logger.log(key="Loss Sender", val=float(host["loss_sen"]), step=t)
-        logger.log(key="Loss Receiver (Y)", val=float(host["nll_loss"]),
-                   step=t)
-        if flags.use_binary:
-            logger.log(key="Loss Receiver (Z)",
-                       val=float(host["loss_binary_rec"]), step=t)
-            if not flags.fixed_exchange:
-                logger.log(key="Loss Receiver (S)",
-                           val=float(host["loss_binary_s"]), step=t)
-            logger.log(key="Loss Baseline (S)",
-                       val=float(host["loss_bas_sen"]), step=t)
-            logger.log(key="Loss Baseline (R)",
-                       val=float(host["loss_bas_rec"]), step=t)
-        logger.log(key="Training Accuracy", val=avg_batch_acc, step=t)
+        emit_log_window(flags, flogger, logger, epoch, t, i_batch,
+                        avg_batch_acc, host)
 
     def dev_block(t, i_batch, epoch):
         nonlocal best_dev_acc, key

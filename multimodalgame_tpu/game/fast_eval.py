@@ -13,7 +13,8 @@ Numbers match eval.py's host computation exactly: the per-batch statistics
 use the same ``n_steps``-sliced semantics (the reference's break_early
 ragged lists), reproduced with step masks; the ragged final batch runs as
 its own (smaller-shape) program so padding can never perturb batch
-statistics. Statistics parity is pinned by tests/test_fast_eval.py.
+statistics. Statistics parity with eval.py is pinned by
+tests/test_driver.py::test_fast_dev_eval_matches_host_eval.
 """
 
 from __future__ import annotations
@@ -111,13 +112,15 @@ def eval_dev_device(modules: AgentModules, params, dev_ds: DeviceDataset,
                     epoch: int, shuffle: bool, batch_size: int, top_k: int,
                     desc, key, desc_set_padded=None, desc_set_mask=None,
                     corrupt_mask=None, sync: bool = True):
-    """Dispatch the dev sweep; returns ``(payloads, finish)`` where
-    ``finish(host_payloads)`` computes the final statistics.
+    """Run the dev sweep.
 
-    Split into dispatch/finish so the training driver can fetch the packed
-    payloads on a background thread (game/driver.py). ``sync=True``
-    (standalone use) fetches immediately and returns
-    ``(dev_acc, extra, true_labels, pred_labels)``.
+    ``sync=True`` (the driver's and the default path) fetches the packed
+    payloads immediately and returns ``(dev_acc, extra, true_labels,
+    pred_labels)``. ``sync=False`` returns ``(payloads, finish)`` —
+    device arrays plus the closure that turns their host copies into the
+    statistics — for callers that want to overlap the fetch with other
+    work (note the driver keeps the synchronous path: dev results must
+    print before the following log lines for log-order parity).
     """
     idx = dev_ds.epoch_indices(epoch, shuffle, batch_size,
                                truncate_final_batch=True)

@@ -7,8 +7,8 @@ trip (utils/device_pack.py). Here a jitted packer slices the conversation
 record down to the ``exchange_samples`` rows the sparkline dumps actually
 show and concatenates every logged quantity — losses, entropies, argmax,
 the train-mode dump, and the re-run eval-mode dump (model.py:1463-1465) —
-into one flat vector. The driver fetches it once, on a background reader
-thread, and formats the log lines from the unpacked host copy.
+into one flat vector. The driver fetches it with a single transfer and
+formats the log lines from the unpacked host copy.
 """
 
 from __future__ import annotations

@@ -35,7 +35,6 @@ from multimodalgame_tpu.data.device_dataset import DeviceDataset
 from multimodalgame_tpu.game.agents import AgentModules
 from multimodalgame_tpu.game.config import GameConfig
 from multimodalgame_tpu.game.driver import decompose_chunks
-from multimodalgame_tpu.game.train import init_opt_states
 from multimodalgame_tpu.parallel.population import (
     init_population, init_population_opt_states, make_population_eval,
     make_population_train_step, member_params, split_population_keys)
@@ -65,7 +64,7 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
                                    glove_path=flags.glove_path)
     desc_dev = load_descriptions(flags.descr_dev, flags.wv_type,
                                  flags.wv_dim, glove_path=flags.glove_path)
-    if cfg.desc_attn or flags.attn_extra_context:
+    if cfg.desc_attn or cfg.visual_attn or flags.attn_extra_context:
         raise NotImplementedError(
             "population sweep covers the non-attention presets")
 
@@ -147,7 +146,8 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
             for size in decompose_chunks(k):
                 rows = jnp.asarray(plan[off:off + size])
                 data = jnp.take(train_ds.feats, rows.reshape(-1),
-                                axis=0).reshape(size, flags.batch_size, -1)
+                                axis=0).reshape(
+                    (size, flags.batch_size) + train_ds.feats.shape[1:])
                 target = jnp.take(train_ds.targets, rows.reshape(-1),
                                   axis=0).reshape(size, flags.batch_size)
                 key, sub = jax.random.split(key)
@@ -184,11 +184,14 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
         print(json.dumps(members[-1]))
     winner = int(np.argmax(accs))
 
+    # Winner checkpoint carries the member's LIVE optimizer state (like
+    # the training driver's best-checkpoints) so resuming continues the
+    # trajectory instead of restarting RMSprop/Adam accumulators.
     win_params = jax.device_get(member_params(pop_params, winner))
-    opt_states = init_opt_states(cfg, win_params)
+    win_opts = jax.device_get(member_params(pop_opts, winner))
     save_checkpoint(flags.checkpoint + "_best",
                     dict(step=step, best_dev_acc=float(accs[winner])),
-                    win_params, opt_states)
+                    win_params, win_opts)
 
     summary = {
         "population": n,

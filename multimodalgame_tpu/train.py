@@ -87,6 +87,92 @@ def format_exchange_log(tag: str, sen_probs, sen_feats, rec_probs, rec_feats,
     return log
 
 
+def emit_log_window(flags: Flags, flogger, logger, epoch: int, step: int,
+                    i_batch: int, avg_batch_acc: float, host: dict) -> None:
+    """Emit one interval-log block (reference model.py:1341-1542) — the
+    SINGLE formatter behind both training loops (the legacy per-batch
+    loop below and the chunked driver, game/driver.py), so the log format
+    can never drift between them.
+
+    ``host`` holds host-side values: ``loss_sen``, ``nll_loss``,
+    ``loss_binary_rec``, ``loss_binary_s``, ``loss_bas_sen``,
+    ``loss_bas_rec``, ``target``, ``argmax``, ``n_steps``,
+    ``ent_binary_sen``, ``ent_binary_rec``, ``ent_y_rec`` and, when
+    ``exchange_samples > 0``, the ``train_*`` / ``eval_*`` conversation
+    dump arrays (probs/feats/stop arrays + ``eval_n_steps``).
+    """
+    prefix = "Epoch: {} Step: {} Batch: {} ".format(epoch, step, i_batch)
+    flogger.Log(prefix + "Training Accuracy: {}".format(avg_batch_acc))
+    flogger.Log(prefix + "Loss Sender: {}".format(
+        float(host["loss_sen"])))
+    flogger.Log(prefix + "Loss Receiver (Y): {}".format(
+        float(host["nll_loss"])))
+    if flags.use_binary:
+        flogger.Log(prefix + "Loss Receiver (Z): {}".format(
+            float(host["loss_binary_rec"])))
+        if not flags.fixed_exchange:
+            flogger.Log(prefix + "Loss Receiver (S): {}".format(
+                float(host["loss_binary_s"])))
+        flogger.Log(prefix + "Loss Baseline (S): {}".format(
+            float(host["loss_bas_sen"])))
+        flogger.Log(prefix + "Loss Baseline (R): {}".format(
+            float(host["loss_bas_rec"])))
+
+    flogger.Log("Predictions: {}".format(
+        np.stack([np.asarray(host["target"]),
+                  np.asarray(host["argmax"]).astype(np.int64)], 0)))
+
+    n_train = int(host["n_steps"])
+    if flags.use_binary:
+        ent_sen = np.asarray(host["ent_binary_sen"])[:n_train]
+        if len(ent_sen) > 0:
+            log_ent = "Entropy Sender Binary"
+            for i, ent in enumerate(ent_sen):
+                log_ent += "\n{}. {}".format(i, -float(ent))
+            flogger.Log(log_ent + "\n")
+        ent_rec = np.asarray(host["ent_binary_rec"])[:max(n_train - 1, 0)]
+        if len(ent_rec) > 0:
+            log_ent = "Entropy Receiver Binary"
+            for i, ent in enumerate(ent_rec):
+                log_ent += "\n{}. {}".format(i, -float(ent))
+            flogger.Log(log_ent + "\n")
+    ent_y = np.asarray(host["ent_y_rec"])[:n_train]
+    if len(ent_y) > 0:
+        log_ent = "Entropy Receiver Predictions"
+        for i, ent in enumerate(ent_y):
+            log_ent += "\n{}. {}".format(i, -float(ent))
+        flogger.Log(log_ent + "\n")
+
+    # Sampled + inferred conversation dumps (model.py:1411-1518).
+    if flags.exchange_samples > 0:
+        flogger.Log(format_exchange_log(
+            "Train:", host["train_sen_probs"], host["train_sen_feats"],
+            host["train_rec_probs"], host["train_rec_feats"],
+            host["train_stop_probs"], host["train_stop_masks_post"],
+            n_train, flags.exchange_samples, flags.use_alpha))
+        flogger.Log(format_exchange_log(
+            "Eval:", host["eval_sen_probs"], host["eval_sen_feats"],
+            host["eval_rec_probs"], host["eval_rec_feats"],
+            host["eval_stop_probs"], host["eval_stop_masks_post"],
+            int(host["eval_n_steps"]), flags.exchange_samples,
+            flags.use_alpha))
+
+    logger.log(key="Loss Sender", val=float(host["loss_sen"]), step=step)
+    logger.log(key="Loss Receiver (Y)", val=float(host["nll_loss"]),
+               step=step)
+    if flags.use_binary:
+        logger.log(key="Loss Receiver (Z)",
+                   val=float(host["loss_binary_rec"]), step=step)
+        if not flags.fixed_exchange:
+            logger.log(key="Loss Receiver (S)",
+                       val=float(host["loss_binary_s"]), step=step)
+        logger.log(key="Loss Baseline (S)",
+                   val=float(host["loss_bas_sen"]), step=step)
+        logger.log(key="Loss Baseline (R)",
+                   val=float(host["loss_bas_rec"]), step=step)
+    logger.log(key="Training Accuracy", val=avg_batch_acc, step=step)
+
+
 def _load_desc_pack(flags: Flags, descr_path: str) -> DescriptionPack:
     return load_descriptions(descr_path, flags.wv_type, flags.wv_dim,
                              glove_path=flags.glove_path)
@@ -243,91 +329,43 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                 m = jax.device_get(m)
                 avg_batch_acc = float(np.array(
                     batch_accuracy[-flags.log_interval:]).mean())
-                prefix = "Epoch: {} Step: {} Batch: {} ".format(
-                    epoch, step, i_batch)
-                flogger.Log(prefix + "Training Accuracy: {}".format(
-                    avg_batch_acc))
-                flogger.Log(prefix + "Loss Sender: {}".format(
-                    float(m.loss_sen)))
-                flogger.Log(prefix + "Loss Receiver (Y): {}".format(
-                    float(m.nll_loss)))
-                if flags.use_binary:
-                    flogger.Log(prefix + "Loss Receiver (Z): {}".format(
-                        float(m.loss_binary_rec)))
-                    if not flags.fixed_exchange:
-                        flogger.Log(prefix + "Loss Receiver (S): {}".format(
-                            float(m.loss_binary_s)))
-                    flogger.Log(prefix + "Loss Baseline (S): {}".format(
-                        float(m.loss_bas_sen)))
-                    flogger.Log(prefix + "Loss Baseline (R): {}".format(
-                        float(m.loss_bas_rec)))
-
-                flogger.Log("Predictions: {}".format(
-                    np.stack([np.asarray(target),
-                              np.asarray(m.argmax)], 0)))
-
-                n_train = int(m.exchange.n_steps)
-                if flags.use_binary:
-                    ent_sen = np.asarray(m.ent_binary_sen)[:n_train]
-                    if len(ent_sen) > 0:
-                        log_ent = "Entropy Sender Binary"
-                        for i, ent in enumerate(ent_sen):
-                            log_ent += "\n{}. {}".format(i, -float(ent))
-                        flogger.Log(log_ent + "\n")
-                    ent_rec = np.asarray(m.ent_binary_rec)[:max(n_train - 1,
-                                                                0)]
-                    if len(ent_rec) > 0:
-                        log_ent = "Entropy Receiver Binary"
-                        for i, ent in enumerate(ent_rec):
-                            log_ent += "\n{}. {}".format(i, -float(ent))
-                        flogger.Log(log_ent + "\n")
-                ent_y = np.asarray(m.ent_y_rec)[:n_train]
-                if len(ent_y) > 0:
-                    log_ent = "Entropy Receiver Predictions"
-                    for i, ent in enumerate(ent_y):
-                        log_ent += "\n{}. {}".format(i, -float(ent))
-                    flogger.Log(log_ent + "\n")
-
-                # Sampled + inferred conversation dumps (model.py:1411-1518).
+                ex = m.exchange
+                host = dict(
+                    loss_sen=m.loss_sen, nll_loss=m.nll_loss,
+                    loss_binary_rec=m.loss_binary_rec,
+                    loss_binary_s=m.loss_binary_s,
+                    loss_bas_sen=m.loss_bas_sen,
+                    loss_bas_rec=m.loss_bas_rec,
+                    target=np.asarray(target), argmax=m.argmax,
+                    n_steps=ex.n_steps,
+                    ent_binary_sen=m.ent_binary_sen,
+                    ent_binary_rec=m.ent_binary_rec,
+                    ent_y_rec=m.ent_y_rec)
                 if flags.exchange_samples > 0:
-                    # One batched D2H transfer per dump (the tunnel charges
-                    # ~33 ms per individual fetch).
-                    ex = jax.device_get(m.exchange)
-                    flogger.Log(format_exchange_log(
-                        "Train:", np.asarray(ex.sen_probs),
-                        np.asarray(ex.sen_feats), np.asarray(ex.rec_probs),
-                        np.asarray(ex.rec_feats), np.asarray(ex.stop_probs),
-                        np.asarray(ex.stop_masks)[1:], n_train,
-                        flags.exchange_samples, flags.use_alpha))
-
+                    host.update(
+                        train_sen_probs=ex.sen_probs,
+                        train_sen_feats=ex.sen_feats,
+                        train_rec_probs=ex.rec_probs,
+                        train_rec_feats=ex.rec_feats,
+                        train_stop_probs=ex.stop_probs,
+                        train_stop_masks_post=np.asarray(ex.stop_masks)[1:])
+                    # Re-run eval-mode exchange on the same batch for the
+                    # inferred-conversation dump (model.py:1463-1465).
                     key, sub = jax.random.split(key)
-                    ex = jax.device_get(
+                    ev = jax.device_get(
                         eval_exchange(params, data, desc_j, sub,
                                       desc_set_padded=padded_j,
                                       desc_set_mask=pmask_j, **kwargs))
-                    flogger.Log(format_exchange_log(
-                        "Eval:", np.asarray(ex.sen_probs),
-                        np.asarray(ex.sen_feats), np.asarray(ex.rec_probs),
-                        np.asarray(ex.rec_feats), np.asarray(ex.stop_probs),
-                        np.asarray(ex.stop_masks)[1:], int(ex.n_steps),
-                        flags.exchange_samples, flags.use_alpha))
-
-                logger.log(key="Loss Sender", val=float(m.loss_sen),
-                           step=step)
-                logger.log(key="Loss Receiver (Y)", val=float(m.nll_loss),
-                           step=step)
-                if flags.use_binary:
-                    logger.log(key="Loss Receiver (Z)",
-                               val=float(m.loss_binary_rec), step=step)
-                    if not flags.fixed_exchange:
-                        logger.log(key="Loss Receiver (S)",
-                                   val=float(m.loss_binary_s), step=step)
-                    logger.log(key="Loss Baseline (S)",
-                               val=float(m.loss_bas_sen), step=step)
-                    logger.log(key="Loss Baseline (R)",
-                               val=float(m.loss_bas_rec), step=step)
-                logger.log(key="Training Accuracy", val=avg_batch_acc,
-                           step=step)
+                    host.update(
+                        eval_sen_probs=ev.sen_probs,
+                        eval_sen_feats=ev.sen_feats,
+                        eval_rec_probs=ev.rec_probs,
+                        eval_rec_feats=ev.rec_feats,
+                        eval_stop_probs=ev.stop_probs,
+                        eval_stop_masks_post=np.asarray(ev.stop_masks)[1:],
+                        eval_n_steps=ev.n_steps)
+                emit_log_window(flags, flogger, logger, epoch, step,
+                                i_batch, avg_batch_acc, host)
 
             # Periodic dev evaluation + best checkpoint (model.py:1544-1576).
             if step % flags.log_dev == 0:
