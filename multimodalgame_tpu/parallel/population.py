@@ -76,10 +76,12 @@ def make_population_train_step(modules: AgentModules, top_k: int,
     update_names = AGENT_NAMES if cfg.use_binary else ("receiver",)
     loss_fn = _loss_fn_for(modules, fast)
 
-    def member_update(params, opt_states, data, target, desc, key, scale):
+    def member_update(params, opt_states, data, target, desc, key, scale,
+                      desc_set_padded, desc_set_mask, data_context):
         grads, m = jax.grad(
-            lambda p: loss_fn(p, data, target, desc, key, None, None,
-                              None, top_k, batch_denom),
+            lambda p: loss_fn(p, data, target, desc, key,
+                              desc_set_padded, desc_set_mask,
+                              data_context, top_k, batch_denom),
             has_aux=True)(params)
         new_params = dict(params)
         new_opts = dict(opt_states)
@@ -94,22 +96,27 @@ def make_population_train_step(modules: AgentModules, top_k: int,
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def chunk(pop_params, pop_opts, data, target, desc, keys,
-              lr_scale: Optional[jnp.ndarray] = None):
+              lr_scale: Optional[jnp.ndarray] = None,
+              desc_set_padded=None, desc_set_mask=None,
+              data_context=None):
         n = keys.shape[1]
         scale = (jnp.ones((n,), jnp.float32) if lr_scale is None
                  else jnp.asarray(lr_scale, jnp.float32))
 
         def body(carry, xs):
             pp, po = carry
-            b_data, b_target, b_keys = xs
+            b_data, b_target, b_keys, b_ctx = xs
             npp, npo, m = jax.vmap(
                 member_update,
-                in_axes=(0, 0, None, None, None, 0, 0))(
-                pp, po, b_data, b_target, desc, b_keys, scale)
+                in_axes=(0, 0, None, None, None, 0, 0, None, None,
+                         None))(
+                pp, po, b_data, b_target, desc, b_keys, scale,
+                desc_set_padded, desc_set_mask, b_ctx)
             return (npp, npo), m
 
-        (pp, po), metrics = jax.lax.scan(body, (pop_params, pop_opts),
-                                         (data, target, keys))
+        (pp, po), metrics = jax.lax.scan(
+            body, (pop_params, pop_opts),
+            (data, target, keys, data_context))
         return pp, po, metrics
 
     return chunk
@@ -150,8 +157,12 @@ def make_population_eval(modules: AgentModules, top_k: int):
     from multimodalgame_tpu.game.masks import assemble_loss_masks
     cfg = modules.cfg
 
-    def member_correct(params, data, target, desc, key):
-        ex = exchange(modules, params, data, desc, key, train=False)
+    def member_correct(params, data, target, desc, key,
+                       desc_set_padded, desc_set_mask, data_context):
+        ex = exchange(modules, params, data, desc, key, train=False,
+                      desc_set_padded=desc_set_padded,
+                      desc_set_mask=desc_set_mask,
+                      data_context=data_context)
         masks = (None if cfg.fixed_exchange
                  else assemble_loss_masks(ex.stop_masks))
         outp, _ = get_rec_outp(ex.y, None if masks is None else masks.y)
@@ -161,8 +172,13 @@ def make_population_eval(modules: AgentModules, top_k: int):
         return jnp.sum(hit.astype(jnp.int32))
 
     @jax.jit
-    def batch_correct(pop_params, data, target, desc, keys):
-        return jax.vmap(member_correct, in_axes=(0, None, None, None, 0))(
-            pop_params, data, target, desc, keys)
+    def batch_correct(pop_params, data, target, desc, keys,
+                      desc_set_padded=None, desc_set_mask=None,
+                      data_context=None):
+        return jax.vmap(member_correct,
+                        in_axes=(0, None, None, None, 0, None, None,
+                                 None))(
+            pop_params, data, target, desc, keys, desc_set_padded,
+            desc_set_mask, data_context)
 
     return batch_correct

@@ -64,19 +64,28 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
                                    glove_path=flags.glove_path)
     desc_dev = load_descriptions(flags.descr_dev, flags.wv_type,
                                  flags.wv_dim, glove_path=flags.glove_path)
-    if cfg.desc_attn or cfg.visual_attn or flags.attn_extra_context:
-        raise NotImplementedError(
-            "population sweep covers the non-attention presets")
 
+    ctx_key = flags.data_context if flags.attn_extra_context else None
     train_ds = DeviceDataset.from_hdf5(flags.train_file, flags.img_feat,
-                                       map_labels=desc_train.map_labels)
+                                       map_labels=desc_train.map_labels,
+                                       context_key=ctx_key)
     dev_ds = DeviceDataset.from_hdf5(flags.dev_file, flags.img_feat,
-                                     map_labels=desc_dev.map_labels)
+                                     map_labels=desc_dev.map_labels,
+                                     context_key=ctx_key)
     desc_j = jnp.asarray(desc_train.desc)
     desc_dev_j = jnp.asarray(desc_dev.desc)
+    padded_j = (jnp.asarray(desc_train.desc_set_padded)
+                if cfg.desc_attn else None)
+    pmask_j = (jnp.asarray(desc_train.desc_set_mask)
+               if cfg.desc_attn else None)
+    dpadded_j = (jnp.asarray(desc_dev.desc_set_padded)
+                 if cfg.desc_attn else None)
+    dpmask_j = (jnp.asarray(desc_dev.desc_set_mask)
+                if cfg.desc_attn else None)
 
     pop_params = init_population(modules, jax.random.PRNGKey(
-        flags.random_seed), n, num_classes=desc_train.num_classes)
+        flags.random_seed), n, num_classes=desc_train.num_classes,
+        max_words=max(desc_train.desc_set_lens))
     pop_opts = init_population_opt_states(cfg, pop_params)
 
     # Multi-chip: shard the member axis over the device mesh (zero
@@ -91,6 +100,9 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
         pop_params = shard_population(pop_params, mesh)
         pop_opts = shard_population(pop_opts, mesh)
         desc_j = replicate(desc_j, mesh)
+        if padded_j is not None:
+            padded_j = replicate(padded_j, mesh)
+            pmask_j = replicate(pmask_j, mesh)
         place_keys = lambda k: shard_population_keys(k, mesh)  # noqa: E731
     else:
         place_keys = lambda k: k  # noqa: E731
@@ -110,8 +122,12 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
             key, sub = jax.random.split(key)
             data = jnp.take(dev_ds.feats, jnp.asarray(row), axis=0)
             target = jnp.take(dev_ds.targets, jnp.asarray(row), axis=0)
+            ctx = (jnp.take(dev_ds.context, jnp.asarray(row), axis=0)
+                   if dev_ds.context is not None else None)
             c = batch_eval(pop_params, data, target, desc_dev_j,
-                           jax.random.split(sub, n))
+                           jax.random.split(sub, n),
+                           desc_set_padded=dpadded_j,
+                           desc_set_mask=dpmask_j, data_context=ctx)
             correct += np.asarray(c, np.int64)
             total += len(row)
         return correct / float(total)
@@ -150,10 +166,19 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
                     (size, flags.batch_size) + train_ds.feats.shape[1:])
                 target = jnp.take(train_ds.targets, rows.reshape(-1),
                                   axis=0).reshape(size, flags.batch_size)
+                ctx = None
+                if train_ds.context is not None:
+                    ctx = jnp.take(
+                        train_ds.context, rows.reshape(-1),
+                        axis=0).reshape(
+                        (size, flags.batch_size)
+                        + train_ds.context.shape[1:])
                 key, sub = jax.random.split(key)
                 pop_params, pop_opts, sm = chunk(
                     pop_params, pop_opts, data, target, desc_j,
-                    place_keys(split_population_keys(sub, size, n)), lr_j)
+                    place_keys(split_population_keys(sub, size, n)), lr_j,
+                    desc_set_padded=padded_j, desc_set_mask=pmask_j,
+                    data_context=ctx)
                 off += size
                 step += size
             if step % eval_cadence == 0 or (max_steps is not None

@@ -152,6 +152,36 @@ def test_parse_lr_scales():
                                [0.5, 1.0, 2.0, 0.5, 1.0])
 
 
+def test_run_sweep_attention_preset(synthetic_dataset, tmp_path):
+    """The population sweep covers the attention presets too: visual
+    attention over layer4_2 + fc context (FixedAttention flags)."""
+    paths = synthetic_dataset
+    f = make_flags()
+    argv = [
+        "-experiment_name", "sweepattn", "-model_type", "FixedAttention",
+        "-log_path", str(tmp_path),
+        "-batch_size", "8", "-batch_size_dev", "8",
+        "-rec_w_dim", "8", "-sender_out_dim", "8",
+        "-img_h_dim", "16", "-rec_hidden", "16", "-baseline_hid_dim", "16",
+        "-attn_dim", "16",
+        "-max_exchange", "2", "-max_epoch", "1",
+        "-top_k_dev", "2", "-top_k_train", "2",
+        "-descr_train", paths["descr"], "-descr_dev", paths["descr"],
+        "-train_file", paths["train"], "-dev_file", paths["dev"],
+        "-wv_dim", "16", "-glove_path", paths["glove"],
+        "-population", "2",
+    ]
+    parse_args(f, argv)
+    finalize_flags(f, argv)
+    assert f.img_feat == "layer4_2" and f.attn_extra_context
+    os.makedirs(f.log_path, exist_ok=True)
+    summary = run_sweep(f, max_steps=3, eval_every=3)
+    assert summary["steps"] == 3
+    assert len(summary["members"]) == 2
+    assert all(np.isfinite(m["final_dev_acc"])
+               for m in summary["members"])
+
+
 def test_run_sweep_end_to_end(synthetic_dataset, tmp_path, capsys):
     """Tiny sweep through the CLI flag surface: trains, evaluates every
     member, writes the winner checkpoint, prints JSONL."""
