@@ -109,8 +109,10 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     key = jax.random.PRNGKey(flags.random_seed + 1)
     batch_accuracy = []   # host floats, one per optimizer step, in order
     pending_acc = []      # device accuracy arrays not yet fetched
+    pending_log = []      # at most one deferred log-boundary payload
     dev_accuracy = []
     timer = StepTimer()
+    state = {"steps_timed": 0}
     epoch = 0
     done = False
 
@@ -120,15 +122,52 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 np.asarray(a, dtype=np.float64).reshape(-1).tolist())
         pending_acc.clear()
 
-    def log_window(t, i_batch, host, epoch):
+    def queued_acc_count():
+        c = len(batch_accuracy)
+        for a in pending_acc:
+            shape = np.shape(a)
+            c += int(np.prod(shape)) if shape else 1
+        return c
+
+    def log_window(t, i_batch, host, epoch, acc_end):
         """Emit the interval-log block from the unpacked payload via the
         shared formatter (train.py:emit_log_window — same code path as
-        the legacy loop, so the log format cannot drift)."""
+        the legacy loop, so the log format cannot drift). ``acc_end`` is
+        the accuracy-list position as of the boundary step, so a
+        deferred flush averages exactly the window the reference
+        would have."""
         from multimodalgame_tpu.train import emit_log_window
-        avg_batch_acc = float(np.asarray(
-            batch_accuracy[-flags.log_interval:]).mean())
+        window = batch_accuracy[max(0, acc_end - flags.log_interval):
+                                acc_end]
+        avg_batch_acc = float(np.asarray(window).mean())
         emit_log_window(flags, flogger, logger, epoch, t, i_batch,
                         avg_batch_acc, host)
+
+    def flush_log():
+        """Fetch and print the deferred log-boundary payload.
+
+        The boundary step's packed payload is NOT fetched when computed —
+        chunks for the following window are dispatched first, so the
+        ~one-RTT device->host transfer overlaps their compute, and the
+        payload is materialized here, right before the next host-visible
+        event (next log window, dev eval, checkpoint, epoch line, or
+        training end). Log lines appear in exactly the same order and
+        with exactly the same content as immediate fetching."""
+        if not pending_log:
+            return
+        payload, t, i_b, ep, tgt, acc_end = pending_log.pop()
+        if state["steps_timed"]:
+            timer.stop(steps=state["steps_timed"])  # ends at this sync
+            state["steps_timed"] = 0
+            restart = True
+        else:
+            restart = False
+        flush_acc()
+        host = packer.unpack(np.asarray(payload))
+        host["target"] = tgt
+        log_window(t, i_b, host, ep, acc_end)
+        if restart:
+            timer.start()
 
     def dev_block(t, i_batch, epoch):
         nonlocal best_dev_acc, key
@@ -171,12 +210,13 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                             params, opt_states)
 
     while epoch < flags.max_epoch and not done:
+        flush_log()
         flogger.Log("Starting epoch: {}".format(epoch))
         idx_plan = train_ds.epoch_indices(epoch, flags.shuffle_train,
                                           flags.batch_size)
         nb = idx_plan.shape[0]
         i = 0
-        steps_timed = 0
+        state["steps_timed"] = 0
         timer.start()
         while i < nb:
             t = step
@@ -184,7 +224,11 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 done = True
                 break
             if is_log(t):
-                # Full-metrics boundary step + one-transfer payload fetch.
+                # The previous window's payload prints before this one's
+                # is queued (order parity).
+                flush_log()
+                # Full-metrics boundary step; the payload fetch is
+                # deferred so it overlaps the next window's compute.
                 key, sub = jax.random.split(key)
                 params, opt_states, m = full_step(
                     params, opt_states, train_ds.feats, train_ds.targets,
@@ -207,14 +251,11 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                                             desc_set_mask=pmask_j, **kwargs)
                 payload = packer.pack(m, ex_eval)
                 pending_acc.append(m.accuracy)
-                host = packer.unpack(np.asarray(payload))  # the one sync
-                steps_timed += 1
-                timer.stop(steps=steps_timed)
-                steps_timed = 0
-                flush_acc()
-                host["target"] = train_ds.targets_host[idx_plan[i]]
-                log_window(t, i, host, epoch)
-                timer.start()
+                pending_log.append(
+                    (payload, t, i, epoch,
+                     train_ds.targets_host[idx_plan[i]],
+                     queued_acc_count()))
+                state["steps_timed"] += 1
                 did = 1
             else:
                 # Chunk every step up to (exclusive) the next log boundary;
@@ -242,18 +283,19 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                         desc_set_padded=padded_j, desc_set_mask=pmask_j)
                     pending_acc.append(sm.accuracy)
                     off += size
-                steps_timed += k
+                state["steps_timed"] += k
                 did = k
 
             t_done = t + did - 1
             if is_dev(t_done) or is_save(t_done):
-                # Host-side work: sync (the accuracy fetch blocks on every
-                # dispatched chunk) and close the running train span so
+                # Host-side work: print any deferred window first (log
+                # order), sync, and close the running train span so
                 # dev-eval/checkpoint time never counts as step time.
+                flush_log()
                 flush_acc()
-                if steps_timed:
-                    timer.stop(steps=steps_timed)
-                    steps_timed = 0
+                if state["steps_timed"]:
+                    timer.stop(steps=state["steps_timed"])
+                    state["steps_timed"] = 0
                 else:
                     timer.cancel()
                 if is_dev(t_done):
@@ -271,9 +313,11 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 done = True
                 break
 
+        flush_log()
         flush_acc()  # forces a device sync at the epoch boundary
-        if steps_timed:
-            timer.stop(steps=steps_timed)
+        if state["steps_timed"]:
+            timer.stop(steps=state["steps_timed"])
+            state["steps_timed"] = 0
         else:
             timer.cancel()
         if timer.count:
@@ -282,6 +326,8 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             timer.reset()
         epoch += 1
 
+    flush_log()
+    flush_acc()
     return dict(step=step, best_dev_acc=best_dev_acc, params=params,
                 opt_states=opt_states, batch_accuracy=batch_accuracy,
                 metrics=logger.history)

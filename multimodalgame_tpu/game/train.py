@@ -522,7 +522,10 @@ def make_eval_exchange(modules: AgentModules, use_pallas: bool = False):
     def run(params, data, desc, key, desc_set_padded=None,
             desc_set_mask=None, data_context=None, corrupt_mask=None,
             use_corrupt=False):
-        if pallas_ok and desc_set_padded is None and data_context is None:
+        # Mosaic can't lower the kernel's cross-class reductions below a
+        # full 8-sublane tile; small batches silently use the scan path.
+        if (pallas_ok and data.shape[0] >= 8
+                and desc_set_padded is None and data_context is None):
             from multimodalgame_tpu.ops.pallas_exchange import (
                 fused_eval_exchange)
             f = fused_eval_exchange(

@@ -25,7 +25,9 @@ def test_eval_exchange_pallas_vs_scan(monkeypatch):
     mods = AgentModules(cfg)
     params = init_params(mods, jax.random.PRNGKey(0), num_classes=5)
     rng = np.random.RandomState(0)
-    data = jnp.asarray(rng.randn(6, 32), jnp.float32)
+    # batch >= 8: below a full sublane tile make_eval_exchange routes to
+    # the scan path (Mosaic can't lower the kernel's reductions there).
+    data = jnp.asarray(rng.randn(8, 32), jnp.float32)
     desc = jnp.asarray(rng.randn(5, 12), jnp.float32)
     key = jax.random.PRNGKey(1)
 
@@ -43,3 +45,15 @@ def test_eval_exchange_pallas_vs_scan(monkeypatch):
                                   np.asarray(fused.rec_feats))
     np.testing.assert_allclose(np.asarray(scan.y), np.asarray(fused.y),
                                atol=1e-4)
+    # The train-only outputs are zeros in eval mode either way.
+    assert float(jnp.abs(fused.bs).max()) == 0.0
+
+    # Small batches fall back to the scan path silently — identical
+    # record, no Mosaic compile (which would fail at these shapes).
+    small = jnp.asarray(rng.randn(2, 32), jnp.float32)
+    a = make_eval_exchange(mods, use_pallas=True)(params, small, desc, key)
+    b = make_eval_exchange(mods, use_pallas=False)(params, small, desc,
+                                                   key)
+    np.testing.assert_array_equal(np.asarray(a.sen_feats),
+                                  np.asarray(b.sen_feats))
+    np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
