@@ -251,7 +251,8 @@ def measure_population(n: int = 16, chunk_steps: int = 50,
 
 
 def measure_serving(batch: int = 64, k: int = 50,
-                    num_chunks: int = 20) -> dict:
+                    num_chunks: int = 20,
+                    include_pallas: bool = True) -> dict:
     """Eval-conversation (serving) throughput: the deterministic full-T
     exchange, scan path vs the fused single-launch Pallas kernel
     (ops/pallas_exchange.py), measured as a jitted ``lax.scan`` over K
@@ -284,7 +285,10 @@ def measure_serving(batch: int = 64, k: int = 50,
     keys = jax.random.split(jax.random.PRNGKey(1), k)
 
     out = {"batch": batch}
-    for name, use_pallas in (("scan", False), ("pallas", True)):
+    variants = [("scan", False)]
+    if include_pallas:
+        variants.append(("pallas", True))
+    for name, use_pallas in variants:
         run = make_eval_exchange(modules, use_pallas=use_pallas)
 
         @jax.jit
@@ -359,7 +363,10 @@ if __name__ == "__main__":
         for n in (1, 4, 16, 64):
             print(json.dumps(measure_population(n)))
     elif len(sys.argv) > 1 and sys.argv[1] == "serve":
-        for b in (1, 64, 1024):
+        for b in (1, 64):
             print(json.dumps(measure_serving(b)))
+        # Mosaic compiles of the fused kernel at large batch take >30 min
+        # through the tunnel; the large-batch point is scan-only.
+        print(json.dumps(measure_serving(1024, include_pallas=False)))
     else:
         main()
