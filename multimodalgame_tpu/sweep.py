@@ -146,52 +146,63 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
     eval_cadence = eval_every or flags.log_dev
     done = False
 
-    while epoch < flags.max_epoch and not done:
-        plan = train_ds.epoch_indices(epoch, flags.shuffle_train,
-                                      flags.batch_size)
-        off = 0
-        while off < plan.shape[0]:
-            remaining = plan.shape[0] - off
-            until_eval = eval_cadence - (step % eval_cadence)
-            k = min(remaining, until_eval)
-            if max_steps is not None:
-                k = min(k, max_steps - step)
-            if k <= 0:
-                done = True
-                break
-            for size in decompose_chunks(k):
-                rows = jnp.asarray(plan[off:off + size])
-                data = jnp.take(train_ds.feats, rows.reshape(-1),
-                                axis=0).reshape(
-                    (size, flags.batch_size) + train_ds.feats.shape[1:])
-                target = jnp.take(train_ds.targets, rows.reshape(-1),
-                                  axis=0).reshape(size, flags.batch_size)
-                ctx = None
-                if train_ds.context is not None:
-                    ctx = jnp.take(
-                        train_ds.context, rows.reshape(-1),
-                        axis=0).reshape(
-                        (size, flags.batch_size)
-                        + train_ds.context.shape[1:])
-                key, sub = jax.random.split(key)
-                pop_params, pop_opts, sm = chunk(
-                    pop_params, pop_opts, data, target, desc_j,
-                    place_keys(split_population_keys(sub, size, n)), lr_j,
-                    desc_set_padded=padded_j, desc_set_mask=pmask_j,
-                    data_context=ctx)
-                off += size
-                step += size
-            if step % eval_cadence == 0 or (max_steps is not None
-                                            and step >= max_steps):
-                key, sub = jax.random.split(key)
-                accs = dev_accuracy(sub)
-                best = np.maximum(best, accs)
-                flogger.Log("Step: {} per-member dev acc: {}".format(
-                    step, np.array2string(accs, precision=3)))
-            if max_steps is not None and step >= max_steps:
-                done = True
-                break
-        epoch += 1
+    # Chunks span epoch boundaries: epoch index plans (reference-parity
+    # shuffles) are buffered and consumed contiguously, so chunk sizes
+    # come from a tiny fixed set (powers of two up to the eval cadence)
+    # regardless of the per-epoch step count — each distinct size is a
+    # separate compile, and short epochs would otherwise fragment every
+    # window into many small one-off programs.
+    plan_buf = np.zeros((0, flags.batch_size), dtype=np.int64)
+
+    def refill(buf, needed):
+        nonlocal epoch
+        while buf.shape[0] < needed and epoch < flags.max_epoch:
+            nxt = train_ds.epoch_indices(epoch, flags.shuffle_train,
+                                         flags.batch_size)
+            buf = np.concatenate([buf, nxt], axis=0)
+            epoch += 1
+        return buf
+
+    while not done:
+        until_eval = eval_cadence - (step % eval_cadence)
+        k = until_eval
+        if max_steps is not None:
+            k = min(k, max_steps - step)
+        plan_buf = refill(plan_buf, k)
+        k = min(k, plan_buf.shape[0])
+        if k <= 0:
+            break  # max_steps reached or epochs exhausted
+        for size in decompose_chunks(k):
+            rows = jnp.asarray(plan_buf[:size])
+            plan_buf = plan_buf[size:]
+            data = jnp.take(train_ds.feats, rows.reshape(-1),
+                            axis=0).reshape(
+                (size, flags.batch_size) + train_ds.feats.shape[1:])
+            target = jnp.take(train_ds.targets, rows.reshape(-1),
+                              axis=0).reshape(size, flags.batch_size)
+            ctx = None
+            if train_ds.context is not None:
+                ctx = jnp.take(
+                    train_ds.context, rows.reshape(-1),
+                    axis=0).reshape(
+                    (size, flags.batch_size)
+                    + train_ds.context.shape[1:])
+            key, sub = jax.random.split(key)
+            pop_params, pop_opts, sm = chunk(
+                pop_params, pop_opts, data, target, desc_j,
+                place_keys(split_population_keys(sub, size, n)), lr_j,
+                desc_set_padded=padded_j, desc_set_mask=pmask_j,
+                data_context=ctx)
+            step += size
+        if step % eval_cadence == 0 or (max_steps is not None
+                                        and step >= max_steps):
+            key, sub = jax.random.split(key)
+            accs = dev_accuracy(sub)
+            best = np.maximum(best, accs)
+            flogger.Log("Step: {} per-member dev acc: {}".format(
+                step, np.array2string(accs, precision=3)))
+        if max_steps is not None and step >= max_steps:
+            done = True
 
     key, sub = jax.random.split(key)
     accs = dev_accuracy(sub)
