@@ -259,8 +259,6 @@ def measure_serving(batch: int = 64, k: int = 50,
     staged batches (individual sub-ms eval calls through the tunnel are
     dispatch-bound, so per-call marginal timing measures the host, not
     the device)."""
-    import functools
-
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -286,7 +284,9 @@ def measure_serving(batch: int = 64, k: int = 50,
 
     out = {"batch": batch}
     variants = [("scan", False)]
-    if include_pallas:
+    # make_eval_exchange routes batches < 8 to the scan path, so a
+    # "pallas" measurement there would just re-measure scan.
+    if include_pallas and batch >= 8:
         variants.append(("pallas", True))
     for name, use_pallas in variants:
         run = make_eval_exchange(modules, use_pallas=use_pallas)

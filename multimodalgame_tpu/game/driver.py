@@ -156,18 +156,17 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         if not pending_log:
             return
         payload, t, i_b, ep, tgt, acc_end = pending_log.pop()
-        if state["steps_timed"]:
-            timer.stop(steps=state["steps_timed"])  # ends at this sync
-            state["steps_timed"] = 0
-            restart = True
-        else:
-            restart = False
+        # The fetches below are the sync: close the running train span
+        # only after they return, so timed spans cover real device work,
+        # then reopen it.
         flush_acc()
         host = packer.unpack(np.asarray(payload))
+        if state["steps_timed"]:
+            timer.stop(steps=state["steps_timed"])
+            state["steps_timed"] = 0
+            timer.start()
         host["target"] = tgt
         log_window(t, i_b, host, ep, acc_end)
-        if restart:
-            timer.start()
 
     def dev_block(t, i_batch, epoch):
         nonlocal best_dev_acc, key
@@ -210,7 +209,6 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                             params, opt_states)
 
     while epoch < flags.max_epoch and not done:
-        flush_log()
         flogger.Log("Starting epoch: {}".format(epoch))
         idx_plan = train_ds.epoch_indices(epoch, flags.shuffle_train,
                                           flags.batch_size)

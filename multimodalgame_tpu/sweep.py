@@ -159,6 +159,10 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
         while buf.shape[0] < needed and epoch < flags.max_epoch:
             nxt = train_ds.epoch_indices(epoch, flags.shuffle_train,
                                          flags.batch_size)
+            if nxt.shape[0] == 0:
+                # dataset smaller than one batch: no epoch can ever
+                # yield a step (and the empty plan is shaped (0,))
+                break
             buf = np.concatenate([buf, nxt], axis=0)
             epoch += 1
         return buf

@@ -152,6 +152,34 @@ def test_parse_lr_scales():
                                [0.5, 1.0, 2.0, 0.5, 1.0])
 
 
+def test_run_sweep_dataset_smaller_than_batch(synthetic_dataset,
+                                              tmp_path):
+    """A training set smaller than one batch yields zero steps but still
+    finishes cleanly with a final dev eval (regression: the epoch-plan
+    refill crashed on the (0,)-shaped empty plan)."""
+    paths = synthetic_dataset
+    f = make_flags()
+    argv = [
+        "-experiment_name", "sweeptiny", "-model_type", "Adaptive",
+        "-log_path", str(tmp_path),
+        "-batch_size", "4096", "-batch_size_dev", "8",
+        "-rec_w_dim", "8", "-sender_out_dim", "8",
+        "-img_h_dim", "16", "-rec_hidden", "16", "-baseline_hid_dim", "16",
+        "-max_exchange", "2", "-max_epoch", "2",
+        "-top_k_dev", "2", "-top_k_train", "2",
+        "-descr_train", paths["descr"], "-descr_dev", paths["descr"],
+        "-train_file", paths["train"], "-dev_file", paths["dev"],
+        "-wv_dim", "16", "-glove_path", paths["glove"],
+        "-population", "2",
+    ]
+    parse_args(f, argv)
+    finalize_flags(f, argv)
+    os.makedirs(f.log_path, exist_ok=True)
+    summary = run_sweep(f, max_steps=4, eval_every=2)
+    assert summary["steps"] == 0
+    assert len(summary["members"]) == 2
+
+
 def test_run_sweep_attention_preset(synthetic_dataset, tmp_path):
     """The population sweep covers the attention presets too: visual
     attention over layer4_2 + fc context (FixedAttention flags)."""
