@@ -26,6 +26,16 @@ Layout notes (pallas_guide): batch 64 rows fill f32 sublanes exactly;
 message (32), hidden (64/256), and class (30) dims are each a single
 128-lane tile, so all VPU ops are one-tile wide and the two big matmuls
 (image projection, prediction head) hit the MXU.
+
+Batch-size support (measured on v5e, 2026-08-17): batches < 8 fail to
+lower ("Not implemented: Offset change" on sub-sublane reductions) —
+``make_eval_exchange`` routes them to the scan path automatically.
+Batches 8, 12, 64, and the canonical sizes compile and run; batch 100 at
+the canonical dims reproducibly OOM-kills this environment's Mosaic
+compile helper (SIGKILL, twice) — a compiler resource limit, not a
+lowering error. The kernel is opt-in (MMG_USE_PALLAS_EVAL=1 /
+``Predictor(use_pallas=True)``); the scan path is the default and is
+faster anyway (PERFORMANCE.md).
 """
 
 from __future__ import annotations
