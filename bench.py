@@ -32,7 +32,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 def measure_tpu_steps_per_sec(chunk_steps: int = 50,
                               num_chunks: int = 20, batch: int = 64,
-                              compute_dtype: str = "float32") -> float:
+                              compute_dtype: str = "float32",
+                              num_classes: int = 30,
+                              **cfg_overrides) -> float:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -45,15 +47,16 @@ def measure_tpu_steps_per_sec(chunk_steps: int = 50,
     from multimodalgame_tpu.game.train import (init_opt_states,
                                                make_multistep_train_step)
 
-    cfg = GameConfig(
+    cfg_kw = dict(
         img_feat="avgpool_512", img_feat_dim=512, img_h_dim=256,
         sender_out_dim=32, rec_w_dim=32, rec_hidden=64, wv_dim=100,
         max_exchange=10, fixed_exchange=False,
         entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
         learning_rate=1e-4, optim_type="RMSprop",
         compute_dtype=compute_dtype)
+    cfg_kw.update(cfg_overrides)
+    cfg = GameConfig(**cfg_kw)
     modules = AgentModules(cfg)
-    num_classes = 30
 
     params = init_params(modules, jax.random.PRNGKey(0),
                          num_classes=num_classes)
@@ -62,12 +65,13 @@ def measure_tpu_steps_per_sec(chunk_steps: int = 50,
 
     rng = np.random.RandomState(0)
     data = jnp.asarray(
-        np.broadcast_to(rng.randn(batch, 512),
-                        (chunk_steps, batch, 512)).copy(), jnp.float32)
+        np.broadcast_to(rng.randn(batch, cfg.img_feat_dim),
+                        (chunk_steps, batch, cfg.img_feat_dim)).copy(),
+        jnp.float32)
     target = jnp.asarray(
         np.broadcast_to(rng.randint(0, num_classes, size=batch),
                         (chunk_steps, batch)).copy())
-    desc = jnp.asarray(rng.randn(num_classes, 100), jnp.float32)
+    desc = jnp.asarray(rng.randn(num_classes, cfg.wv_dim), jnp.float32)
 
     def keys(seed):
         return jax.random.split(jax.random.PRNGKey(seed), chunk_steps)
@@ -362,6 +366,21 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "population":
         for n in (1, 4, 16, 64):
             print(json.dumps(measure_population(n)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "big":
+        # Headroom at a much larger game than the paper's: 128-bit
+        # messages, 1024/256 hidden, 1000 classes, GloVe-300.
+        big = dict(sender_out_dim=128, rec_w_dim=128, img_h_dim=1024,
+                   rec_hidden=256, wv_dim=300)
+        for batch, dtype in ((256, "float32"), (256, "bfloat16"),
+                             (1024, "bfloat16")):
+            v = measure_tpu_steps_per_sec(batch=batch,
+                                          compute_dtype=dtype,
+                                          num_classes=1000, **big)
+            print(json.dumps({
+                "batch": batch, "compute_dtype": dtype,
+                "num_classes": 1000, "msg_bits": 128,
+                "steps_per_sec": round(v, 1),
+                "examples_per_sec": round(v * batch)}))
     elif len(sys.argv) > 1 and sys.argv[1] == "serve":
         for b in (1, 64):
             print(json.dumps(measure_serving(b)))

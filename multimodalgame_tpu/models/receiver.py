@@ -37,6 +37,27 @@ from multimodalgame_tpu.models.gru import TorchGRUCell
 from multimodalgame_tpu.models.init import xavier_normal
 
 
+class ParamDense(nn.Module):
+    """Dense layer with explicit kernel/bias access (``kb``), used where
+    the consumer needs to restructure the contraction (the ``y2``
+    reduction below). Parameter names/shapes are identical to
+    ``nn.Dense`` — checkpoint layout is unchanged."""
+    in_dim: int
+    feats: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", xavier_normal(),
+                                 (self.in_dim, self.feats))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.feats,))
+
+    def kb(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.kernel, self.bias
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.dot(x, self.kernel) + self.bias
+
+
 class Receiver(nn.Module):
     z_dim: int
     desc_dim: int
@@ -65,7 +86,7 @@ class Receiver(nn.Module):
                                            self.hid_dim))
         self.y1_bias = self.param("y1_bias", nn.initializers.zeros,
                                   (self.hid_dim,))
-        self.y2 = dense(self.out_dim, "y2")
+        self.y2 = ParamDense(self.hid_dim, self.out_dim, name="y2")
         # Decision (STOP) head (model.py:265)
         self.s = dense(self.s_dim, "s")
         if self.desc_attn:
@@ -172,7 +193,20 @@ class Receiver(nn.Module):
                 + cache["desc_proj"][None]
                 + self.y1_bias)                           # (B, D, hid)
 
-        y = self.y2(y_hid).reshape(h_z_new.shape[0], -1)  # (B, D*out)
+        # y2 as an explicit multiply-reduce (out_dim is 1 in every
+        # reference config): XLA fuses the whole relu(y1...) chain into
+        # one reduction kernel, so the (B, D, hid) intermediate is never
+        # materialized in HBM — at large class counts that intermediate
+        # (e.g. 1 GB at B=1024, D=1000, hid=256 in f32) is the
+        # bandwidth bottleneck. A dot/matmul form would force
+        # materialization as an MXU operand.
+        k2, b2 = self.y2.kb()
+        if self.out_dim == 1:
+            y = (jnp.sum(y_hid * k2[:, 0][None, None, :], axis=-1)
+                 + b2)                                    # (B, D)
+            y = y.reshape(h_z_new.shape[0], -1)
+        else:
+            y = self.y2(y_hid).reshape(h_z_new.shape[0], -1)  # (B, D*out)
 
         # Confidence-weighted description mixing; scores detached
         # (model.py:441: F.softmax(y).detach()).

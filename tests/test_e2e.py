@@ -58,7 +58,9 @@ def test_train_eval_extract_cycle(synthetic_dataset, tmp_path):
     assert "Train:" in log and "Eval:" in log  # sparkline dumps
     json.loads(open(flags.json_file).read())  # valid JSON flag dump
 
-    # eval_only from the checkpoint (model.py:1166-1180).
+    # eval_only from the checkpoint (model.py:1166-1180) — the default
+    # one-program device sweep and the -nofast_driver host loop must
+    # produce the same numbers (eval is deterministic).
     flags2 = _flags(paths, tmp_path, extra=["-eval_only"])
     out = run(flags2)
     assert 0.0 <= out["dev_acc"] <= 1.0
@@ -68,6 +70,14 @@ def test_train_eval_extract_cycle(synthetic_dataset, tmp_path):
     assert os.path.exists(flags2.conf_mat)
     cm = np.loadtxt(flags2.conf_mat, delimiter=",")
     assert cm.shape == (6, 6) or cm.size > 0
+
+    flags2h = _flags(paths, tmp_path, extra=["-eval_only",
+                                             "-nofast_driver"])
+    out_h = run(flags2h)
+    assert out_h["dev_acc"] == pytest.approx(out["dev_acc"], abs=1e-6)
+    for k in out["extra"]:
+        assert out_h["extra"][k] == pytest.approx(out["extra"][k],
+                                                  abs=1e-4), k
 
     # binary_only extraction (model.py:1181-1187).
     flags3 = _flags(paths, tmp_path, extra=["-binary_only",
