@@ -214,8 +214,8 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                                           flags.batch_size)
         nb = idx_plan.shape[0]
         i = 0
-        state["steps_timed"] = 0
-        timer.start()
+        if not timer.running:
+            timer.start()
         while i < nb:
             t = step
             if max_steps is not None and t >= max_steps:
@@ -311,14 +311,15 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 done = True
                 break
 
+        # No forced device sync at the epoch boundary: pending
+        # accuracies/steps flush at the next natural host-visible event
+        # (log window, dev eval, checkpoint, or training end) — a
+        # per-epoch sync would cost one tunnel RTT per 46-step epoch.
+        # flush_log only syncs when a window payload is actually pending
+        # (and must, to keep its lines before the next "Starting epoch").
         flush_log()
-        flush_acc()  # forces a device sync at the epoch boundary
-        if state["steps_timed"]:
-            timer.stop(steps=state["steps_timed"])
-            state["steps_timed"] = 0
-        else:
-            timer.cancel()
         if timer.count:
+            # Summarize the spans that real syncs closed this epoch.
             flogger.Log("Epoch {} step timing: {}".format(
                 epoch, timer.summary()))
             timer.reset()

@@ -61,6 +61,10 @@ class StepTimer:
         """Discard the currently running span without recording it."""
         self._t0 = None
 
+    @property
+    def running(self) -> bool:
+        return self._t0 is not None
+
     def __enter__(self):
         self.start()
         return self
