@@ -34,9 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodalgame_tpu.data.device_dataset import DeviceDataset
-from multimodalgame_tpu.game.fast_eval import eval_dev_device
+from multimodalgame_tpu.game.fast_eval import run_device_dev_eval
 from multimodalgame_tpu.game.logpack import LogPacker
-from multimodalgame_tpu.game.masks import build_mask
 from multimodalgame_tpu.game.train import (make_multistep_train_step_indexed,
                                            make_train_step_indexed)
 from multimodalgame_tpu.utils.checkpoint import save_checkpoint
@@ -77,15 +76,6 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 if cfg.desc_attn else None)
     pmask_j = (jnp.asarray(desc_train.desc_set_mask)
                if cfg.desc_attn else None)
-    desc_dev_j = jnp.asarray(desc_dev.desc)
-    dpadded_j = (jnp.asarray(desc_dev.desc_set_padded)
-                 if cfg.desc_attn else None)
-    dpmask_j = (jnp.asarray(desc_dev.desc_set_mask)
-                if cfg.desc_attn else None)
-
-    corrupt = None
-    if flags.bit_flip and flags.corrupt_region:
-        corrupt = jnp.asarray(build_mask(flags.corrupt_region, cfg.rec_w_dim))
 
     full_step = make_train_step_indexed(modules, flags.top_k_train,
                                         flags.batch_size)
@@ -171,14 +161,8 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     def dev_block(t, i_batch, epoch):
         nonlocal best_dev_acc, key
         key, sub = jax.random.split(key)
-        dev_acc, extra, trues, preds = eval_dev_device(
-            modules, params, dev_ds, epoch, flags.shuffle_dev,
-            flags.batch_size_dev, flags.top_k_dev, desc_dev_j, sub,
-            desc_set_padded=dpadded_j, desc_set_mask=dpmask_j,
-            corrupt_mask=corrupt)
-        from sklearn.metrics import confusion_matrix
-        np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
-                   delimiter=",", fmt="%d")
+        dev_acc, extra = run_device_dev_eval(
+            flags, modules, params, desc_dev, dev_ds, epoch, sub)
         dev_accuracy.append(dev_acc)
         logger.log(key="Development Accuracy", val=dev_acc, step=t)
         logger.log(key="Conversation Length (avg)",
@@ -319,14 +303,24 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         # (and must, to keep its lines before the next "Starting epoch").
         flush_log()
         if timer.count:
-            # Summarize the spans that real syncs closed this epoch.
+            # Summarize the spans that real syncs closed this epoch. A
+            # span still running at the boundary is attributed to the
+            # epoch whose sync eventually closes it — per-step cost is
+            # unaffected; only the per-epoch grouping of the summary
+            # lines shifts.
             flogger.Log("Epoch {} step timing: {}".format(
                 epoch, timer.summary()))
             timer.reset()
         epoch += 1
 
     flush_log()
-    flush_acc()
+    flush_acc()  # the final sync — close the trailing timed span on it
+    if state["steps_timed"]:
+        timer.stop(steps=state["steps_timed"])
+        state["steps_timed"] = 0
+    if timer.count:
+        flogger.Log("Final step timing: {}".format(timer.summary()))
+        timer.reset()
     return dict(step=step, best_dev_acc=best_dev_acc, params=params,
                 opt_states=opt_states, batch_accuracy=batch_accuracy,
                 metrics=logger.history)

@@ -108,6 +108,40 @@ def _get_evaluator(modules: AgentModules, top_k: int):
     return evaluate
 
 
+def run_device_dev_eval(flags, modules, params, desc_pack,
+                        dev_ds: DeviceDataset, epoch: int, key):
+    """Flag-driven wrapper around :func:`eval_dev_device`: builds the
+    corruption mask and description-attention inputs from ``flags`` /
+    ``desc_pack``, runs the sweep, and writes the confusion-matrix CSV —
+    the shared dev-eval recipe of the training driver's cadence
+    (game/driver.py) and the CLI ``-eval_only`` branch (train.py).
+
+    Returns ``(dev_acc, extra)``.
+    """
+    import jax.numpy as jnp
+
+    from multimodalgame_tpu.game.masks import build_mask
+
+    cfg = modules.cfg
+    corrupt = None
+    if flags.bit_flip and flags.corrupt_region:
+        corrupt = jnp.asarray(build_mask(flags.corrupt_region,
+                                         cfg.rec_w_dim))
+    dev_acc, extra, trues, preds = eval_dev_device(
+        modules, params, dev_ds, epoch, flags.shuffle_dev,
+        flags.batch_size_dev, flags.top_k_dev,
+        jnp.asarray(desc_pack.desc), key,
+        desc_set_padded=(jnp.asarray(desc_pack.desc_set_padded)
+                         if cfg.desc_attn else None),
+        desc_set_mask=(jnp.asarray(desc_pack.desc_set_mask)
+                       if cfg.desc_attn else None),
+        corrupt_mask=corrupt)
+    from sklearn.metrics import confusion_matrix
+    np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
+               delimiter=",", fmt="%d")
+    return dev_acc, extra
+
+
 def eval_dev_device(modules: AgentModules, params, dev_ds: DeviceDataset,
                     epoch: int, shuffle: bool, batch_size: int, top_k: int,
                     desc, key, desc_set_padded=None, desc_set_mask=None,

@@ -243,35 +243,25 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     if flags.eval_only:
         if not os.path.exists(flags.checkpoint):
             raise Exception("Must provide valid checkpoint.")
-        if flags.fast_driver and flags.images == "mammal":
+        use_pallas_eval = os.environ.get("MMG_USE_PALLAS_EVAL") == "1"
+        if (flags.fast_driver and flags.images == "mammal"
+                and not use_pallas_eval):
             # One-program device sweep (game/fast_eval.py) — same
             # statistics as the host loop (pinned by test_driver.py),
             # two transfers instead of ~8 per batch. -nofast_driver
-            # selects the host path.
+            # selects the host path; so does the MMG_USE_PALLAS_EVAL
+            # opt-in (the fused kernel runs through eval.py's
+            # eval_exchange, which the device sweep doesn't use).
             from multimodalgame_tpu.data.device_dataset import DeviceDataset
-            from multimodalgame_tpu.game.fast_eval import eval_dev_device
-            from multimodalgame_tpu.game.masks import build_mask
+            from multimodalgame_tpu.game.fast_eval import run_device_dev_eval
             ctx_key = (flags.data_context if flags.attn_extra_context
                        else None)
             dev_ds = DeviceDataset.from_hdf5(
                 flags.dev_file, flags.img_feat,
                 map_labels=desc_dev.map_labels, context_key=ctx_key)
-            corrupt = None
-            if flags.bit_flip and flags.corrupt_region:
-                corrupt = jnp.asarray(
-                    build_mask(flags.corrupt_region, cfg.rec_w_dim))
-            dev_acc, extra, trues, preds = eval_dev_device(
-                modules, params, dev_ds, epoch, flags.shuffle_dev,
-                flags.batch_size_dev, flags.top_k_dev,
-                jnp.asarray(desc_dev.desc), jax.random.PRNGKey(0),
-                desc_set_padded=(jnp.asarray(desc_dev.desc_set_padded)
-                                 if cfg.desc_attn else None),
-                desc_set_mask=(jnp.asarray(desc_dev.desc_set_mask)
-                               if cfg.desc_attn else None),
-                corrupt_mask=corrupt)
-            from sklearn.metrics import confusion_matrix
-            np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
-                       delimiter=",", fmt="%d")
+            dev_acc, extra = run_device_dev_eval(
+                flags, modules, params, desc_dev, dev_ds, epoch,
+                jax.random.PRNGKey(0))
         else:
             dev_acc, extra = eval_dev(
                 flags, modules, params, eval_exchange, flags.dev_file,

@@ -66,9 +66,12 @@ def test_population_matches_independent_runs(setup):
         np.testing.assert_allclose(np.asarray(sm.accuracy),
                                    np.asarray(pm.accuracy[:, i]),
                                    atol=1e-6)
-        # vmapped matmuls round differently from looped ones at f32;
-        # RMSprop's g/sqrt(nu) amplifies that in near-zero-gradient
-        # directions (same tolerance as the flat-carry test).
+        # vmapped matmuls/reductions round differently from looped ones
+        # at f32; RMSprop's g/sqrt(nu) amplifies that ~1e-8 noise up to
+        # a few 1e-3 in near-zero-gradient directions within K steps
+        # (observed 2.1e-3 max after the fused-y2 reduction). Genuine
+        # divergence is caught by the tight accuracy check above; this
+        # bound only guards against gross parameter mixups.
         for a, b in zip(jax.tree_util.tree_leaves(p2),
                         jax.tree_util.tree_leaves(
                             member_params(new_pop, i))):
