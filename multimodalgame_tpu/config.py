@@ -128,6 +128,13 @@ def _registry() -> Dict[str, FlagDef]:
     # keeps f32 parameters/losses but runs the conversation on the MXU's
     # native matmul dtype — worthwhile at large batch sizes.
     define("compute_dtype", "enum", "float32", ["float32", "bfloat16"])
+    # Extension: data-parallel mesh size for the chunked driver
+    # (game/driver.py + parallel/mesh.py). 0 or 1 = single device;
+    # N > 1 = shard the episode batch over the first N devices with
+    # parameters/descriptions replicated (XLA inserts the psum gradient
+    # all-reduce over ICI); -1 = all visible devices. batch_size and
+    # batch_size_dev must be divisible by the mesh size.
+    define("mesh", "integer", 0)
     # Extension: population size for the vmapped seed/lr sweep driver
     # (python -m multimodalgame_tpu.sweep; parallel/population.py).
     define("population", "integer", 8)

@@ -84,6 +84,18 @@ class DeviceDataset:
                 "MMG_DEVICE_DATA_LIMIT or shard the file")
         return cls(feats, targets, context)
 
+    def place(self, sharding) -> "DeviceDataset":
+        """Re-place the staged arrays with an explicit ``jax.sharding``
+        (the mesh driver replicates the dataset across its data-parallel
+        mesh so device-side batch gathers stay local). In-place; returns
+        ``self`` for chaining."""
+        import jax
+        self.feats = jax.device_put(self.feats, sharding)
+        self.targets = jax.device_put(self.targets, sharding)
+        if self.context is not None:
+            self.context = jax.device_put(self.context, sharding)
+        return self
+
     def epoch_indices(self, epoch: int, shuffle: bool, batch_size: int,
                       truncate_final_batch: bool = False) -> np.ndarray:
         """The epoch's batch plan: an ``(nb, B)`` int32 index array with the

@@ -56,12 +56,42 @@ def decompose_chunks(k: int) -> list:
     return out
 
 
+def resolve_mesh(flags):
+    """Build the data-parallel mesh requested by ``-mesh`` (0/1 = off,
+    N > 1 = first N devices, -1 = all devices), validating batch
+    divisibility. Returns a ``jax.sharding.Mesh`` or ``None``."""
+    n = int(getattr(flags, "mesh", 0) or 0)
+    if n == -1:
+        n = len(jax.devices())
+    if n <= 1:
+        return None
+    from multimodalgame_tpu.parallel.mesh import make_mesh
+    for fname in ("batch_size", "batch_size_dev"):
+        b = getattr(flags, fname)
+        if b % n:
+            raise ValueError(
+                f"-{fname} {b} is not divisible by the -mesh size {n}")
+    return make_mesh(n)
+
+
 def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
              flogger, logger, eval_exchange, step: int = 0,
              best_dev_acc: float = 0.0,
              max_steps: Optional[int] = None) -> dict:
     """Train with the chunked device-side schedule; returns the same
-    summary dict as the legacy loop in train.py."""
+    summary dict as the legacy loop in train.py.
+
+    With ``-mesh N`` the same compiled programs run data-parallel over an
+    N-device mesh: the staged dataset, parameters, optimizer state, and
+    descriptions are replicated; each step's batch *index row* is sharded
+    on the batch axis, so the device-side gather, the conversation, and
+    the per-example loss terms are sharded too, and XLA's SPMD
+    partitioner turns the batch-global loss reductions and the gradient
+    sum into psums over ICI (jit follows the argument shardings — no
+    separate mesh program). Results are numerically identical to
+    single-device execution up to psum reassociation
+    (tests/test_mesh_driver.py).
+    """
     cfg = modules.cfg
     ctx_key = flags.data_context if flags.attn_extra_context else None
     train_ds = DeviceDataset.from_hdf5(flags.train_file, flags.img_feat,
@@ -76,6 +106,32 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 if cfg.desc_attn else None)
     pmask_j = (jnp.asarray(desc_train.desc_set_mask)
                if cfg.desc_attn else None)
+
+    mesh = resolve_mesh(flags)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from multimodalgame_tpu.parallel.mesh import BATCH_AXIS
+        rep = NamedSharding(mesh, P())
+        n_mesh = mesh.size
+        flogger.Log("Data-parallel mesh: {} devices ({})".format(
+            n_mesh, jax.devices()[0].platform))
+        params = jax.device_put(params, rep)
+        opt_states = jax.device_put(opt_states, rep)
+        desc_j = jax.device_put(desc_j, rep)
+        if padded_j is not None:
+            padded_j = jax.device_put(padded_j, rep)
+            pmask_j = jax.device_put(pmask_j, rep)
+        train_ds.place(rep)
+        dev_ds.place(rep)
+
+        def put_rows(rows):
+            rows = np.asarray(rows)
+            if rows.shape[-1] % n_mesh:   # ragged tail: replicate
+                return jax.device_put(rows, rep)
+            spec = P(*([None] * (rows.ndim - 1) + [BATCH_AXIS]))
+            return jax.device_put(rows, NamedSharding(mesh, spec))
+    else:
+        put_rows = jnp.asarray
 
     full_step = make_train_step_indexed(modules, flags.top_k_train,
                                         flags.batch_size)
@@ -162,7 +218,8 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         nonlocal best_dev_acc, key
         key, sub = jax.random.split(key)
         dev_acc, extra = run_device_dev_eval(
-            flags, modules, params, desc_dev, dev_ds, epoch, sub)
+            flags, modules, params, desc_dev, dev_ds, epoch, sub,
+            row_placer=put_rows)
         dev_accuracy.append(dev_acc)
         logger.log(key="Development Accuracy", val=dev_acc, step=t)
         logger.log(key="Conversation Length (avg)",
@@ -214,7 +271,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 key, sub = jax.random.split(key)
                 params, opt_states, m = full_step(
                     params, opt_states, train_ds.feats, train_ds.targets,
-                    jnp.asarray(idx_plan[i]), desc_j, sub,
+                    put_rows(idx_plan[i]), desc_j, sub,
                     feats_context=train_ds.context,
                     desc_set_padded=padded_j, desc_set_mask=pmask_j)
                 ex_eval = None
@@ -222,7 +279,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                     # Re-run eval-mode exchange on the same batch for the
                     # inferred-conversation dump (model.py:1463-1465).
                     key, sub2 = jax.random.split(key)
-                    row = jnp.asarray(idx_plan[i])
+                    row = put_rows(idx_plan[i])
                     data = jnp.take(train_ds.feats, row, axis=0)
                     kwargs = {}
                     if train_ds.context is not None:
@@ -260,7 +317,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                     key, sub = jax.random.split(key)
                     params, opt_states, sm = chunk_step(
                         params, opt_states, train_ds.feats,
-                        train_ds.targets, jnp.asarray(rows), desc_j, sub,
+                        train_ds.targets, put_rows(rows), desc_j, sub,
                         feats_context=train_ds.context,
                         desc_set_padded=padded_j, desc_set_mask=pmask_j)
                     pending_acc.append(sm.accuracy)

@@ -108,34 +108,59 @@ def _get_evaluator(modules: AgentModules, top_k: int):
     return evaluate
 
 
-def run_device_dev_eval(flags, modules, params, desc_pack,
-                        dev_ds: DeviceDataset, epoch: int, key):
-    """Flag-driven wrapper around :func:`eval_dev_device`: builds the
-    corruption mask and description-attention inputs from ``flags`` /
-    ``desc_pack``, runs the sweep, and writes the confusion-matrix CSV —
-    the shared dev-eval recipe of the training driver's cadence
-    (game/driver.py) and the CLI ``-eval_only`` branch (train.py).
-
-    Returns ``(dev_acc, extra)``.
-    """
+def _dev_eval_inputs(flags, modules, desc_pack):
+    """Device copies of the dev-eval constants (descriptions, attention
+    word sets, corruption mask). Cached on ``modules`` keyed by the
+    description pack's identity so the periodic dev cadence doesn't pay a
+    fresh host-to-device transfer per call (advisor round-2 #1)."""
     import jax.numpy as jnp
 
     from multimodalgame_tpu.game.masks import build_mask
 
     cfg = modules.cfg
-    corrupt = None
-    if flags.bit_flip and flags.corrupt_region:
-        corrupt = jnp.asarray(build_mask(flags.corrupt_region,
-                                         cfg.rec_w_dim))
+    cache = getattr(modules, "_dev_eval_input_cache", None)
+    if cache is None:
+        cache = modules._dev_eval_input_cache = {}
+    ck = (id(desc_pack), flags.bit_flip, flags.corrupt_region)
+    if ck not in cache:
+        corrupt = None
+        if flags.bit_flip and flags.corrupt_region:
+            corrupt = jnp.asarray(build_mask(flags.corrupt_region,
+                                             cfg.rec_w_dim))
+        cache.clear()   # one live pack per run; don't pin stale arrays
+        cache[ck] = dict(
+            desc=jnp.asarray(desc_pack.desc),
+            desc_set_padded=(jnp.asarray(desc_pack.desc_set_padded)
+                             if cfg.desc_attn else None),
+            desc_set_mask=(jnp.asarray(desc_pack.desc_set_mask)
+                           if cfg.desc_attn else None),
+            corrupt_mask=corrupt)
+    return cache[ck]
+
+
+def run_device_dev_eval(flags, modules, params, desc_pack,
+                        dev_ds: DeviceDataset, epoch: int, key,
+                        row_placer=None):
+    """Flag-driven wrapper around :func:`eval_dev_device`: builds the
+    corruption mask and description-attention inputs from ``flags`` /
+    ``desc_pack`` (device copies cached across calls), runs the sweep,
+    and writes the confusion-matrix CSV — the shared dev-eval recipe of
+    the training driver's cadence (game/driver.py) and the CLI
+    ``-eval_only`` branch (train.py).
+
+    ``row_placer`` optionally places the batch-index plan with an
+    explicit sharding (the mesh driver shards the batch axis so the dev
+    sweep runs data-parallel too). Returns ``(dev_acc, extra)``.
+    """
+    inputs = _dev_eval_inputs(flags, modules, desc_pack)
     dev_acc, extra, trues, preds = eval_dev_device(
         modules, params, dev_ds, epoch, flags.shuffle_dev,
         flags.batch_size_dev, flags.top_k_dev,
-        jnp.asarray(desc_pack.desc), key,
-        desc_set_padded=(jnp.asarray(desc_pack.desc_set_padded)
-                         if cfg.desc_attn else None),
-        desc_set_mask=(jnp.asarray(desc_pack.desc_set_mask)
-                       if cfg.desc_attn else None),
-        corrupt_mask=corrupt)
+        inputs["desc"], key,
+        desc_set_padded=inputs["desc_set_padded"],
+        desc_set_mask=inputs["desc_set_mask"],
+        corrupt_mask=inputs["corrupt_mask"],
+        row_placer=row_placer)
     from sklearn.metrics import confusion_matrix
     np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
                delimiter=",", fmt="%d")
@@ -145,7 +170,8 @@ def run_device_dev_eval(flags, modules, params, desc_pack,
 def eval_dev_device(modules: AgentModules, params, dev_ds: DeviceDataset,
                     epoch: int, shuffle: bool, batch_size: int, top_k: int,
                     desc, key, desc_set_padded=None, desc_set_mask=None,
-                    corrupt_mask=None, sync: bool = True):
+                    corrupt_mask=None, sync: bool = True,
+                    row_placer=None):
     """Run the dev sweep.
 
     ``sync=True`` (the driver's and the default path) fetches the packed
@@ -156,6 +182,8 @@ def eval_dev_device(modules: AgentModules, params, dev_ds: DeviceDataset,
     work (note the driver keeps the synchronous path: dev results must
     print before the following log lines for log-order parity).
     """
+    if row_placer is None:
+        row_placer = jnp.asarray
     idx = dev_ds.epoch_indices(epoch, shuffle, batch_size,
                                truncate_final_batch=True)
     tail = None
@@ -171,11 +199,11 @@ def eval_dev_device(modules: AgentModules, params, dev_ds: DeviceDataset,
                   desc_set_mask=desc_set_mask, corrupt_mask=corrupt_mask)
     if idx.shape[0]:
         flat = evaluate(params, dev_ds.feats, dev_ds.targets,
-                        jnp.asarray(idx), desc, key_full, **kwargs)
+                        row_placer(idx), desc, key_full, **kwargs)
         calls.append((flat, _fields(idx.shape[0], idx.shape[1]), idx))
     if tail is not None and tail.size:
         flat = evaluate(params, dev_ds.feats, dev_ds.targets,
-                        jnp.asarray(tail[None]), desc, key_tail, **kwargs)
+                        row_placer(tail[None]), desc, key_tail, **kwargs)
         calls.append((flat, _fields(1, tail.size), tail[None]))
 
     num_batches = len(idx) + (1 if tail is not None and tail.size else 0)
