@@ -134,7 +134,8 @@ def shard_population(pop_tree, mesh):
     devices a 128-member sweep runs at the per-device cost of 16.
 
     Use with ``parallel.mesh.make_mesh`` and ``replicate`` for the
-    shared inputs; member count must divide the mesh size.
+    shared inputs; the mesh size must divide the member count (enforced
+    by the sweep driver, sweep.py).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from multimodalgame_tpu.parallel.mesh import BATCH_AXIS
