@@ -167,6 +167,7 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
             epoch += 1
         return buf
 
+    accs = None   # last dev sweep, valid only if params unchanged since
     while not done:
         until_eval = eval_cadence - (step % eval_cadence)
         k = until_eval
@@ -198,6 +199,7 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
                 desc_set_padded=padded_j, desc_set_mask=pmask_j,
                 data_context=ctx)
             step += size
+        accs = None
         if step % eval_cadence == 0 or (max_steps is not None
                                         and step >= max_steps):
             key, sub = jax.random.split(key)
@@ -208,9 +210,14 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
         if max_steps is not None and step >= max_steps:
             done = True
 
-    key, sub = jax.random.split(key)
-    accs = dev_accuracy(sub)
-    best = np.maximum(best, accs)
+    # Final per-member sweep — reusing the in-loop result when training
+    # ended exactly on an eval boundary (eval is deterministic given the
+    # params; re-running it would double the final-eval cost for the
+    # same numbers — advisor round-2 #4).
+    if accs is None:
+        key, sub = jax.random.split(key)
+        accs = dev_accuracy(sub)
+        best = np.maximum(best, accs)
     elapsed = time.perf_counter() - t0
 
     members = []
@@ -222,7 +229,13 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
             "best_dev_acc": float(best[i]),
         })
         print(json.dumps(members[-1]))
-    winner = int(np.argmax(accs))
+    # Winner = best dev accuracy over training (the driver/reference
+    # best-checkpoint criterion, model.py:1569-1576). The saved
+    # parameters are the member's FINAL state (the population trains as
+    # one stacked program; per-member best-state snapshots would need a
+    # device-side copy per eval), so the metadata records both
+    # accuracies (advisor round-2 #2).
+    winner = int(np.argmax(best))
 
     # Winner checkpoint carries the member's LIVE optimizer state (like
     # the training driver's best-checkpoints) so resuming continues the
@@ -230,14 +243,16 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
     win_params = jax.device_get(member_params(pop_params, winner))
     win_opts = jax.device_get(member_params(pop_opts, winner))
     save_checkpoint(flags.checkpoint + "_best",
-                    dict(step=step, best_dev_acc=float(accs[winner])),
+                    dict(step=step, best_dev_acc=float(best[winner]),
+                         final_dev_acc=float(accs[winner])),
                     win_params, win_opts)
 
     summary = {
         "population": n,
         "steps": step,
         "winner": winner,
-        "winner_dev_acc": float(accs[winner]),
+        "winner_best_dev_acc": float(best[winner]),
+        "winner_final_dev_acc": float(accs[winner]),
         "wall_seconds": round(elapsed, 3),
         "steps_per_sec_total": round(step * n / elapsed, 1),
         "checkpoint": flags.checkpoint + "_best",
