@@ -29,14 +29,26 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_trace.json")
 GOLDEN_TPU_PATH = os.path.join(os.path.dirname(__file__),
                                "golden_trace_tpu.json")
 
+_ATTN = dict(fixed_exchange=True, visual_attn=True,
+             attn_extra_context=True, attn_context_dim=10, attn_dim=8)
+
 CONFIGS = {
     # The original round-1 golden config (Adaptive, sum mix).
     "adaptive": dict(fixed_exchange=False),
     # Visual attention + fc context exercises the attention algebra and
     # the fixed-exchange loss branch (VERDICT round-1 weak #4).
-    "fixed_attention": dict(fixed_exchange=True, visual_attn=True,
-                            attn_extra_context=True, attn_context_dim=10,
-                            attn_dim=8),
+    "fixed_attention": dict(_ATTN),
+    # Optimizer breadth (VERDICT round-2 #6): an optax-upgrade numerics
+    # drift in Adam/SGD now fails CI, in both exchange modes.
+    "adaptive_adam": dict(fixed_exchange=False, optim_type="Adam"),
+    "adaptive_sgd": dict(fixed_exchange=False, optim_type="SGD",
+                         learning_rate=1e-2),
+    "fixed_attention_adam": dict(_ATTN, optim_type="Adam"),
+    "fixed_attention_sgd": dict(_ATTN, optim_type="SGD",
+                                learning_rate=1e-2),
+    # Mixed-precision trajectory: bf16 conversation, f32 loss/optimizer.
+    "adaptive_bf16": dict(fixed_exchange=False,
+                          compute_dtype="bfloat16"),
 }
 
 
@@ -45,11 +57,12 @@ def _run_trace(kw, fast="auto"):
     from multimodalgame_tpu.game.config import GameConfig
     from multimodalgame_tpu.game.train import init_opt_states, make_train_step
 
-    cfg = GameConfig(img_feat_dim=32, img_h_dim=16, sender_out_dim=8,
-                     rec_w_dim=8, rec_hidden=16, wv_dim=12, max_exchange=3,
-                     baseline_hid_dim=16,
-                     entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
-                     learning_rate=1e-3, optim_type="RMSprop", **kw)
+    base = dict(img_feat_dim=32, img_h_dim=16, sender_out_dim=8,
+                rec_w_dim=8, rec_hidden=16, wv_dim=12, max_exchange=3,
+                baseline_hid_dim=16,
+                entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
+                learning_rate=1e-3, optim_type="RMSprop")
+    cfg = GameConfig(**{**base, **kw})
     mods = AgentModules(cfg)
     params = init_params(mods, jax.random.PRNGKey(0), num_classes=5)
     opts = init_opt_states(cfg, params)
