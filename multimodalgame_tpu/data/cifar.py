@@ -39,6 +39,44 @@ def _resize_bilinear(images: np.ndarray, size: int) -> np.ndarray:
     return out
 
 
+def load_cifar_staged(root: str = "./", image_size: int = 227):
+    """Load + resize the whole CIFAR test split ONCE for device staging
+    (the fast-driver path, game/driver.py round-3).
+
+    Returns ``(pixels_u8 (N, 3, S, S) uint8, labels (N,) int32)``. PIL's
+    bilinear resize of a uint8 image yields uint8, so the resized images
+    are staged losslessly at 1/4 the float32 HBM footprint and the
+    normalization ``(x/255 - .5)/.5`` runs on device fused into the
+    train step — bit-identical to the streaming loader's host math."""
+    from PIL import Image
+
+    path = os.path.join(os.path.expanduser(root), _BATCH_FILE)
+    if not os.path.exists(path):
+        raise NotImplementedError(
+            "images=cifar requires a local CIFAR-10 python-format copy at "
+            f"{path!r} (no network egress available to download it)")
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    data = np.asarray(d[b"data"], np.uint8).reshape(-1, 3, 32, 32)
+    labels = np.asarray(d[b"labels"], np.int32)
+    out = np.empty((data.shape[0], 3, image_size, image_size), np.uint8)
+    for i, img in enumerate(data):
+        pil = Image.fromarray(np.transpose(img, (1, 2, 0)))
+        out[i] = np.transpose(
+            np.asarray(pil.resize((image_size, image_size),
+                                  Image.BILINEAR), np.uint8), (2, 0, 1))
+    return out, labels
+
+
+def cifar_epoch_perm(n: int, epoch: int, batch_size: int) -> np.ndarray:
+    """The streaming loader's exact batch plan as an ``(nb, B)`` index
+    array: ``RandomState(11 + epoch).permutation`` order, unsorted rows,
+    ragged tail dropped (the semantics of :func:`load_cifar` below)."""
+    perm = np.random.RandomState(11 + epoch).permutation(n)
+    nb = n // batch_size
+    return perm[:nb * batch_size].reshape(nb, batch_size).astype(np.int32)
+
+
 def load_cifar(batch_size: int, epoch: int, root: str = "./",
                image_size: int = 227,
                ) -> Iterator[Dict[str, np.ndarray]]:

@@ -48,15 +48,18 @@ class DeviceDataset:
     """
 
     def __init__(self, feats, targets_host: np.ndarray,
-                 context=None):
+                 context=None, keep_dtype: bool = False,
+                 numpy_shuffle: bool = False):
         import jax
         import jax.numpy as jnp
         self.size = int(feats.shape[0])
         self.targets_host = np.asarray(targets_host, dtype=np.int32)
-        self.feats = jax.device_put(jnp.asarray(feats, jnp.float32))
+        fdtype = None if keep_dtype else jnp.float32
+        self.feats = jax.device_put(jnp.asarray(feats, fdtype))
         self.targets = jax.device_put(jnp.asarray(self.targets_host))
         self.context = (jax.device_put(jnp.asarray(context, jnp.float32))
                         if context is not None else None)
+        self.numpy_shuffle = numpy_shuffle
 
     @classmethod
     def from_hdf5(cls, hdf5_file: str, feat_key: str,
@@ -84,6 +87,17 @@ class DeviceDataset:
                 "MMG_DEVICE_DATA_LIMIT or shard the file")
         return cls(feats, targets, context)
 
+    @classmethod
+    def from_cifar(cls, root: str = "./",
+                   image_size: int = 227) -> "DeviceDataset":
+        """Stage the CIFAR test split as resized uint8 pixels (lossless —
+        PIL's bilinear resize of uint8 yields uint8; normalization runs
+        on device inside the train step, see game/driver.py). Uses the
+        streaming loader's numpy-seeded shuffle semantics."""
+        from multimodalgame_tpu.data.cifar import load_cifar_staged
+        pixels, labels = load_cifar_staged(root, image_size)
+        return cls(pixels, labels, keep_dtype=True, numpy_shuffle=True)
+
     def place(self, sharding) -> "DeviceDataset":
         """Re-place the staged arrays with an explicit ``jax.sharding``
         (the mesh driver replicates the dataset across its data-parallel
@@ -103,7 +117,14 @@ class DeviceDataset:
 
         With ``truncate_final_batch`` the ragged tail is returned too,
         padded with -1 (callers slice it off; training never truncates,
-        matching the reference's ``num_batches = N // B``)."""
+        matching the reference's ``num_batches = N // B``).
+
+        CIFAR datasets (``numpy_shuffle=True``) use the streaming
+        loader's semantics instead: ``RandomState(11 + epoch)``
+        permutation, unsorted in-batch order (data/cifar.py)."""
+        if getattr(self, "numpy_shuffle", False) and shuffle:
+            from multimodalgame_tpu.data.cifar import cifar_epoch_perm
+            return cifar_epoch_perm(self.size, epoch, batch_size)
         order = list(range(self.size))
         if shuffle:
             random.seed(11 + epoch)

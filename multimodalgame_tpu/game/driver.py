@@ -45,6 +45,10 @@ from multimodalgame_tpu.utils.profiling import StepTimer
 # compiled programs is bounded by its length, not by the flag values.
 _POW2 = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
 
+# The reference's torchvision Scale size for CIFAR images
+# (utils/package_data.py:171-178 / model.py:1195-1206).
+CIFAR_IMAGE_SIZE = 227
+
 
 def decompose_chunks(k: int) -> list:
     """Greedy power-of-two decomposition of a chunk of ``k`` steps."""
@@ -94,9 +98,25 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     """
     cfg = modules.cfg
     ctx_key = flags.data_context if flags.attn_extra_context else None
-    train_ds = DeviceDataset.from_hdf5(flags.train_file, flags.img_feat,
-                                       map_labels=desc_train.map_labels,
-                                       context_key=ctx_key)
+    transform = None
+    if flags.images == "cifar":
+        # Raw pixels staged as resized uint8 (lossless, 1/4 the f32 HBM
+        # footprint); the Scale(227)+Normalize(.5,.5) float math runs on
+        # device fused into the train step (VERDICT round-2 #9). The
+        # attn_extra_context combination streams through the legacy loop
+        # (train.py routes it there).
+        train_ds = DeviceDataset.from_cifar(
+            image_size=CIFAR_IMAGE_SIZE)
+        flat_feat = flags.img_feat != "layer4_2"
+
+        def transform(x):
+            x = (jnp.asarray(x, jnp.float32) / 255.0 - 0.5) / 0.5
+            return x.reshape(x.shape[0], -1) if flat_feat else x
+    else:
+        train_ds = DeviceDataset.from_hdf5(flags.train_file,
+                                           flags.img_feat,
+                                           map_labels=desc_train.map_labels,
+                                           context_key=ctx_key)
     dev_ds = DeviceDataset.from_hdf5(flags.dev_file, flags.img_feat,
                                      map_labels=desc_dev.map_labels,
                                      context_key=ctx_key)
@@ -134,10 +154,12 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         put_rows = jnp.asarray
 
     full_step = make_train_step_indexed(modules, flags.top_k_train,
-                                        flags.batch_size)
+                                        flags.batch_size,
+                                        transform=transform)
     chunk_step = make_multistep_train_step_indexed(modules,
                                                    flags.top_k_train,
-                                                   flags.batch_size)
+                                                   flags.batch_size,
+                                                   transform=transform)
     packer = LogPacker(cfg, flags.batch_size, flags.exchange_samples)
 
     L = flags.log_interval
@@ -155,7 +177,8 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     key = jax.random.PRNGKey(flags.random_seed + 1)
     batch_accuracy = []   # host floats, one per optimizer step, in order
     pending_acc = []      # device accuracy arrays not yet fetched
-    pending_log = []      # at most one deferred log-boundary payload
+    pending = []          # deferred host-visible events, in step order:
+                          #   ("log", payload-tuple) | ("dev", dev-tuple)
     dev_accuracy = []
     timer = StepTimer()
     state = {"steps_timed": 0}
@@ -189,8 +212,8 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         emit_log_window(flags, flogger, logger, epoch, t, i_batch,
                         avg_batch_acc, host)
 
-    def flush_log():
-        """Fetch and print the deferred log-boundary payload.
+    def flush_payload(ev):
+        """Fetch and print one deferred log-boundary payload.
 
         The boundary step's packed payload is NOT fetched when computed —
         chunks for the following window are dispatched first, so the
@@ -199,9 +222,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         event (next log window, dev eval, checkpoint, epoch line, or
         training end). Log lines appear in exactly the same order and
         with exactly the same content as immediate fetching."""
-        if not pending_log:
-            return
-        payload, t, i_b, ep, tgt, acc_end = pending_log.pop()
+        payload, t, i_b, ep, tgt, acc_end = ev
         # The fetches below are the sync: close the running train span
         # only after they return, so timed spans cover real device work,
         # then reopen it.
@@ -214,12 +235,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         host["target"] = tgt
         log_window(t, i_b, host, ep, acc_end)
 
-    def dev_block(t, i_batch, epoch):
-        nonlocal best_dev_acc, key
-        key, sub = jax.random.split(key)
-        dev_acc, extra = run_device_dev_eval(
-            flags, modules, params, desc_dev, dev_ds, epoch, sub,
-            row_placer=put_rows)
+    def emit_dev_lines(t, i_batch, epoch, dev_acc, extra):
         dev_accuracy.append(dev_acc)
         logger.log(key="Development Accuracy", val=dev_acc, step=t)
         logger.log(key="Conversation Length (avg)",
@@ -241,136 +257,219 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                     "(R/S): {}/{}".format(
                         epoch, t, i_batch, extra["hamming_rec_mean"],
                         extra["hamming_sen_mean"]))
+
+    # Device-side snapshot (fresh buffers — donation-proof) of the trees
+    # a deferred best-checkpoint may need; tiny at this model scale.
+    snap = jax.jit(
+        lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
+
+    def flush_dev(ev):
+        """Materialize a deferred dev-eval (the payload fetch rode under
+        subsequent training dispatch — VERDICT round-2 #5) and run the
+        best-checkpoint logic against the snapshot taken at the dev
+        step."""
+        nonlocal best_dev_acc
+        _, finish, t, i_batch, epoch, snapshot = ev
+        flush_acc()
+        dev_acc, extra = finish()
+        if state["steps_timed"]:
+            timer.stop(steps=state["steps_timed"])
+            state["steps_timed"] = 0
+            timer.start()
+        emit_dev_lines(t, i_batch, epoch, dev_acc, extra)
         if t >= flags.save_after and dev_acc > best_dev_acc:
             best_dev_acc = dev_acc
             flogger.Log("Checkpointing with best Development "
                         "Accuracy: {}".format(best_dev_acc))
+            snap_params, snap_opts = snapshot
             save_checkpoint(flags.checkpoint + "_best",
                             dict(step=t, best_dev_acc=best_dev_acc),
-                            params, opt_states)
+                            snap_params, snap_opts)
 
-    while epoch < flags.max_epoch and not done:
-        flogger.Log("Starting epoch: {}".format(epoch))
-        idx_plan = train_ds.epoch_indices(epoch, flags.shuffle_train,
+    def dev_dispatch(t, i_batch, epoch):
+        """Launch the dev sweep and defer its fetch. The eval programs
+        enqueue against the CURRENT param buffers before any later chunk
+        donates them (already-enqueued executions keep their references);
+        a device-side snapshot preserves the trees for the deferred
+        best-checkpoint decision."""
+        nonlocal key
+        key, sub = jax.random.split(key)
+        payloads, finish = run_device_dev_eval(
+            flags, modules, params, desc_dev, dev_ds, epoch, sub,
+            row_placer=put_rows, sync=False)
+        snapshot = (snap((params, opt_states))
+                    if t >= flags.save_after else (None, None))
+        pending.append(("dev", (payloads, finish, t, i_batch, epoch,
+                                snapshot)))
+
+    def flush_events():
+        """Flush deferred host-visible events (log windows, dev evals) in
+        step order — called before emitting any new host-visible line so
+        log content and order match immediate processing exactly."""
+        while pending:
+            kind, ev = pending.pop(0)
+            if kind == "log":
+                flush_payload(ev)
+            else:
+                flush_dev(ev)
+
+    # --- Cross-epoch batch stream (VERDICT round-2 #5) ---------------
+    # Chunks are bounded by host-visible cadences (log/dev/save) and
+    # max_steps ONLY — not by epoch ends. The per-epoch shuffle plans
+    # (reference seed-11+epoch semantics) are buffered and consumed
+    # contiguously; "Starting epoch" lines are emitted when the stream
+    # first dispatches that epoch's steps, so log line order is
+    # unchanged. Epochs count 0..max_epoch-1 regardless of a resumed
+    # step, exactly like the reference's run() (model.py:1190).
+    plan_buf = np.zeros((0, flags.batch_size), np.int32)
+    tag_epoch = np.zeros((0,), np.int32)   # epoch of each buffered row
+    tag_batch = np.zeros((0,), np.int32)   # i_batch within that epoch
+    next_epoch = 0        # next epoch to plan
+    started_epoch = -1    # highest epoch whose Starting line printed
+
+    def refill(need):
+        nonlocal plan_buf, tag_epoch, tag_batch, next_epoch
+        while plan_buf.shape[0] < need and next_epoch < flags.max_epoch:
+            plan = train_ds.epoch_indices(next_epoch, flags.shuffle_train,
                                           flags.batch_size)
-        nb = idx_plan.shape[0]
-        i = 0
-        if not timer.running:
-            timer.start()
-        while i < nb:
-            t = step
-            if max_steps is not None and t >= max_steps:
-                done = True
+            if plan.shape[0] == 0:
+                next_epoch = flags.max_epoch  # dataset < one batch
                 break
-            if is_log(t):
-                # The previous window's payload prints before this one's
-                # is queued (order parity).
-                flush_log()
-                # Full-metrics boundary step; the payload fetch is
-                # deferred so it overlaps the next window's compute.
+            plan_buf = np.concatenate([plan_buf, plan], axis=0)
+            tag_epoch = np.concatenate(
+                [tag_epoch, np.full(plan.shape[0], next_epoch, np.int32)])
+            tag_batch = np.concatenate(
+                [tag_batch, np.arange(plan.shape[0], dtype=np.int32)])
+            next_epoch += 1
+
+    def consume(k):
+        nonlocal plan_buf, tag_epoch, tag_batch
+        rows, plan_buf = plan_buf[:k], plan_buf[k:]
+        eps, tag_epoch = tag_epoch[:k], tag_epoch[k:]
+        ibs, tag_batch = tag_batch[:k], tag_batch[k:]
+        return rows, eps, ibs
+
+    def enter_epochs(upto):
+        """Emit Starting-epoch (and per-epoch timing) lines for every
+        epoch the stream is about to dispatch into. Any deferred event
+        flushes first so its lines stay before the epoch banner — the
+        same order the per-epoch loop produced."""
+        nonlocal started_epoch
+        while started_epoch < upto:
+            started_epoch += 1
+            flush_events()
+            if started_epoch > 0 and timer.count:
+                flogger.Log("Epoch {} step timing: {}".format(
+                    started_epoch - 1, timer.summary()))
+                timer.reset()
+            flogger.Log("Starting epoch: {}".format(started_epoch))
+            if not timer.running:
+                timer.start()
+
+    while not done:
+        t = step
+        if max_steps is not None and t >= max_steps:
+            break
+        refill(1)
+        if plan_buf.shape[0] == 0:
+            break  # epochs exhausted
+        if is_log(t):
+            rows, eps, ibs = consume(1)
+            row_np, ev_epoch, ev_batch = rows[0], int(eps[0]), int(ibs[0])
+            enter_epochs(ev_epoch)
+            # The previous window's payload prints before this one's is
+            # queued (order parity).
+            flush_events()
+            # Full-metrics boundary step; the payload fetch is deferred
+            # so it overlaps the next window's compute.
+            key, sub = jax.random.split(key)
+            params, opt_states, m = full_step(
+                params, opt_states, train_ds.feats, train_ds.targets,
+                put_rows(row_np), desc_j, sub,
+                feats_context=train_ds.context,
+                desc_set_padded=padded_j, desc_set_mask=pmask_j)
+            ex_eval = None
+            if flags.exchange_samples > 0:
+                # Re-run eval-mode exchange on the same batch for the
+                # inferred-conversation dump (model.py:1463-1465).
+                key, sub2 = jax.random.split(key)
+                row = put_rows(row_np)
+                data = jnp.take(train_ds.feats, row, axis=0)
+                if transform is not None:
+                    data = transform(data)
+                kwargs = {}
+                if train_ds.context is not None:
+                    kwargs["data_context"] = jnp.take(
+                        train_ds.context, row, axis=0)
+                ex_eval = eval_exchange(params, data, desc_j, sub2,
+                                        desc_set_padded=padded_j,
+                                        desc_set_mask=pmask_j, **kwargs)
+            payload = packer.pack(m, ex_eval)
+            pending_acc.append(m.accuracy)
+            pending.append(("log", (payload, t, ev_batch, ev_epoch,
+                                    train_ds.targets_host[row_np],
+                                    queued_acc_count())))
+            state["steps_timed"] += 1
+            did = 1
+        else:
+            # Chunk every step up to (exclusive) the next log boundary;
+            # break at the first dev/checkpoint action so it fires at
+            # the right step. Epoch ends do NOT break chunks.
+            next_log = (t // L + 1) * L
+            limit = next_log - 1
+            if max_steps is not None:
+                limit = min(limit, max_steps - 1)
+            chunk_last = limit
+            for v in range(t, limit + 1):
+                if is_dev(v) or is_save(v):
+                    chunk_last = v
+                    break
+            k = chunk_last - t + 1
+            refill(k)
+            k = min(k, plan_buf.shape[0])
+            rows, eps, ibs = consume(k)
+            ev_epoch, ev_batch = int(eps[-1]), int(ibs[-1])
+            enter_epochs(ev_epoch)
+            off = 0
+            for size in decompose_chunks(k):
                 key, sub = jax.random.split(key)
-                params, opt_states, m = full_step(
-                    params, opt_states, train_ds.feats, train_ds.targets,
-                    put_rows(idx_plan[i]), desc_j, sub,
+                params, opt_states, sm = chunk_step(
+                    params, opt_states, train_ds.feats,
+                    train_ds.targets, put_rows(rows[off:off + size]),
+                    desc_j, sub,
                     feats_context=train_ds.context,
                     desc_set_padded=padded_j, desc_set_mask=pmask_j)
-                ex_eval = None
-                if flags.exchange_samples > 0:
-                    # Re-run eval-mode exchange on the same batch for the
-                    # inferred-conversation dump (model.py:1463-1465).
-                    key, sub2 = jax.random.split(key)
-                    row = put_rows(idx_plan[i])
-                    data = jnp.take(train_ds.feats, row, axis=0)
-                    kwargs = {}
-                    if train_ds.context is not None:
-                        kwargs["data_context"] = jnp.take(
-                            train_ds.context, row, axis=0)
-                    ex_eval = eval_exchange(params, data, desc_j, sub2,
-                                            desc_set_padded=padded_j,
-                                            desc_set_mask=pmask_j, **kwargs)
-                payload = packer.pack(m, ex_eval)
-                pending_acc.append(m.accuracy)
-                pending_log.append(
-                    (payload, t, i, epoch,
-                     train_ds.targets_host[idx_plan[i]],
-                     queued_acc_count()))
-                state["steps_timed"] += 1
-                did = 1
+                pending_acc.append(sm.accuracy)
+                off += size
+            state["steps_timed"] += k
+            did = k
+
+        t_done = t + did - 1
+        if is_dev(t_done):
+            # Print any deferred earlier events first (log order), then
+            # dispatch the dev sweep WITHOUT fetching — the payload
+            # transfer overlaps the next window's training dispatch.
+            flush_events()
+            dev_dispatch(t_done, ev_batch, ev_epoch)
+        if is_save(t_done):
+            # Periodic checkpoint reads the live params: a real sync.
+            flush_events()
+            flush_acc()
+            if state["steps_timed"]:
+                timer.stop(steps=state["steps_timed"])
+                state["steps_timed"] = 0
             else:
-                # Chunk every step up to (exclusive) the next log boundary;
-                # break at the first dev/checkpoint action so host-side
-                # state is current when it fires.
-                next_log = (t // L + 1) * L
-                limit = next_log - 1
-                limit = min(limit, step + (nb - i) - 1)
-                if max_steps is not None:
-                    limit = min(limit, max_steps - 1)
-                chunk_last = limit
-                for v in range(t, limit + 1):
-                    if is_dev(v) or is_save(v):
-                        chunk_last = v
-                        break
-                k = chunk_last - t + 1
-                off = 0
-                for size in decompose_chunks(k):
-                    rows = idx_plan[i + off:i + off + size]
-                    key, sub = jax.random.split(key)
-                    params, opt_states, sm = chunk_step(
-                        params, opt_states, train_ds.feats,
-                        train_ds.targets, put_rows(rows), desc_j, sub,
-                        feats_context=train_ds.context,
-                        desc_set_padded=padded_j, desc_set_mask=pmask_j)
-                    pending_acc.append(sm.accuracy)
-                    off += size
-                state["steps_timed"] += k
-                did = k
+                timer.cancel()
+            flogger.Log("Checkpointing.")
+            save_checkpoint(flags.checkpoint,
+                            dict(step=t_done, best_dev_acc=best_dev_acc),
+                            params, opt_states)
+            timer.start()
+        step = t_done + 1
+        if max_steps is not None and step >= max_steps:
+            done = True
 
-            t_done = t + did - 1
-            if is_dev(t_done) or is_save(t_done):
-                # Host-side work: print any deferred window first (log
-                # order), sync, and close the running train span so
-                # dev-eval/checkpoint time never counts as step time.
-                flush_log()
-                flush_acc()
-                if state["steps_timed"]:
-                    timer.stop(steps=state["steps_timed"])
-                    state["steps_timed"] = 0
-                else:
-                    timer.cancel()
-                if is_dev(t_done):
-                    dev_block(t_done, i + did - 1, epoch)
-                if is_save(t_done):
-                    flogger.Log("Checkpointing.")
-                    save_checkpoint(flags.checkpoint,
-                                    dict(step=t_done,
-                                         best_dev_acc=best_dev_acc),
-                                    params, opt_states)
-                timer.start()
-            step = t_done + 1
-            i += did
-            if max_steps is not None and step >= max_steps:
-                done = True
-                break
-
-        # No forced device sync at the epoch boundary: pending
-        # accuracies/steps flush at the next natural host-visible event
-        # (log window, dev eval, checkpoint, or training end) — a
-        # per-epoch sync would cost one tunnel RTT per 46-step epoch.
-        # flush_log only syncs when a window payload is actually pending
-        # (and must, to keep its lines before the next "Starting epoch").
-        flush_log()
-        if timer.count:
-            # Summarize the spans that real syncs closed this epoch. A
-            # span still running at the boundary is attributed to the
-            # epoch whose sync eventually closes it — per-step cost is
-            # unaffected; only the per-epoch grouping of the summary
-            # lines shifts.
-            flogger.Log("Epoch {} step timing: {}".format(
-                epoch, timer.summary()))
-            timer.reset()
-        epoch += 1
-
-    flush_log()
+    flush_events()
     flush_acc()  # the final sync — close the trailing timed span on it
     if state["steps_timed"]:
         timer.stop(steps=state["steps_timed"])

@@ -140,7 +140,7 @@ def _dev_eval_inputs(flags, modules, desc_pack):
 
 def run_device_dev_eval(flags, modules, params, desc_pack,
                         dev_ds: DeviceDataset, epoch: int, key,
-                        row_placer=None):
+                        row_placer=None, sync: bool = True):
     """Flag-driven wrapper around :func:`eval_dev_device`: builds the
     corruption mask and description-attention inputs from ``flags`` /
     ``desc_pack`` (device copies cached across calls), runs the sweep,
@@ -150,21 +150,32 @@ def run_device_dev_eval(flags, modules, params, desc_pack,
 
     ``row_placer`` optionally places the batch-index plan with an
     explicit sharding (the mesh driver shards the batch axis so the dev
-    sweep runs data-parallel too). Returns ``(dev_acc, extra)``.
-    """
+    sweep runs data-parallel too). Returns ``(dev_acc, extra)``; with
+    ``sync=False`` returns ``(payloads, finish)`` where ``finish()``
+    fetches the payloads, writes the confusion-matrix CSV, and returns
+    ``(dev_acc, extra)`` — the driver overlaps the fetch with subsequent
+    training dispatch (VERDICT round-2 #5)."""
     inputs = _dev_eval_inputs(flags, modules, desc_pack)
-    dev_acc, extra, trues, preds = eval_dev_device(
+    payloads, inner_finish = eval_dev_device(
         modules, params, dev_ds, epoch, flags.shuffle_dev,
         flags.batch_size_dev, flags.top_k_dev,
         inputs["desc"], key,
         desc_set_padded=inputs["desc_set_padded"],
         desc_set_mask=inputs["desc_set_mask"],
         corrupt_mask=inputs["corrupt_mask"],
-        row_placer=row_placer)
-    from sklearn.metrics import confusion_matrix
-    np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
-               delimiter=",", fmt="%d")
-    return dev_acc, extra
+        row_placer=row_placer, sync=False)
+
+    def finish():
+        dev_acc, extra, trues, preds = inner_finish(
+            [np.asarray(p) for p in payloads])
+        from sklearn.metrics import confusion_matrix
+        np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
+                   delimiter=",", fmt="%d")
+        return dev_acc, extra
+
+    if sync:
+        return finish()
+    return payloads, finish
 
 
 def eval_dev_device(modules: AgentModules, params, dev_ds: DeviceDataset,

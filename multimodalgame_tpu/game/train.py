@@ -402,7 +402,8 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
 
 
 def make_train_step_indexed(modules: AgentModules, top_k: int,
-                            batch_denom: int, fast: Any = "auto"):
+                            batch_denom: int, fast: Any = "auto",
+                            transform=None):
     """Single full-metrics train step over a *device-resident* dataset
     (data/device_dataset.py): the batch is gathered on device from the
     staged feature array by a ``(B,)`` index row, so no per-step H2D
@@ -411,6 +412,10 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
     Returns ``step(params, opt_states, feats, targets, idx, desc, key,
     feats_context=None, desc_set_padded=None, desc_set_mask=None)
     -> (params, opt_states, TrainMetrics)``.
+
+    ``transform`` (optional, static) maps the gathered batch before the
+    game — e.g. the CIFAR path stages uint8 pixels and normalizes on
+    device, fused into the step (game/driver.py).
     """
     cfg = modules.cfg
     tx = build_optimizer(cfg)
@@ -421,6 +426,8 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
     def step(params, opt_states, feats, targets, idx, desc, key,
              feats_context=None, desc_set_padded=None, desc_set_mask=None):
         data = feats[idx]
+        if transform is not None:
+            data = transform(data)
         target = targets[idx]
         ctx = feats_context[idx] if feats_context is not None else None
         grads, metrics = jax.grad(
@@ -440,7 +447,7 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
 
 def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
                                       batch_denom: int, fast: Any = "auto",
-                                      flat: bool = True):
+                                      flat: bool = True, transform=None):
     """Device-side K-step training loop over a device-resident dataset.
 
     Like :func:`make_multistep_train_step`, but each scan step gathers its
@@ -476,6 +483,8 @@ def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
             params, opt_states = carry
             b_idx, b_key = xs
             data = feats[b_idx]
+            if transform is not None:
+                data = transform(data)
             target = targets[b_idx]
             ctx = (feats_context[b_idx]
                    if feats_context is not None else None)

@@ -294,10 +294,14 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
         return dict(binary_output=path)
 
     # The chunked device-side driver (game/driver.py) is the product hot
-    # path: dataset staged in HBM, whole log windows compiled as one
-    # program, one host transfer per log boundary. The legacy per-batch
-    # loop below remains for CIFAR (streaming loader) and -nofast_driver.
-    if flags.fast_driver and flags.images == "mammal":
+    # path: dataset staged in HBM (CIFAR: resized uint8 pixels,
+    # normalized on device), whole log windows compiled as one program,
+    # one host transfer per log boundary. The legacy per-batch loop
+    # below remains for -nofast_driver and the CIFAR+attn_extra_context
+    # combination (streaming loader; the fc context there is the same
+    # flattened pixels, not worth a second staged copy).
+    if flags.fast_driver and not (flags.images == "cifar"
+                                  and flags.attn_extra_context):
         from multimodalgame_tpu.game.driver import run_fast
         summary = run_fast(flags, modules, params, opt_states, desc_train,
                            desc_dev, flogger, logger, eval_exchange,

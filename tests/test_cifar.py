@@ -150,3 +150,124 @@ def test_wv_type_none_rejected(synthetic_dataset, tmp_path):
     with pytest.raises(NotImplementedError,
                        match="no prediction targets"):
         run(f, max_steps=1)
+
+
+def test_cifar_staged_pipeline_matches_streaming_loader(cifar_root,
+                                                        monkeypatch):
+    """The fast driver's staged-uint8 + on-device-normalize pipeline is
+    BIT-identical to the streaming loader (VERDICT round-2 #9): same
+    RandomState(11+epoch) permutation, same PIL resize, same
+    (x/255-.5)/.5 float math."""
+    import jax.numpy as jnp
+    from multimodalgame_tpu.data.device_dataset import DeviceDataset
+
+    monkeypatch.chdir(cifar_root)
+    ds = DeviceDataset.from_cifar(image_size=64)
+    assert np.asarray(ds.feats).dtype == np.uint8
+
+    plan = ds.epoch_indices(epoch=2, shuffle=True, batch_size=8)
+    stream = list(load_cifar(8, epoch=2, root=cifar_root, image_size=64))
+    assert plan.shape[0] == len(stream) == 5
+    for row, b in zip(plan, stream):
+        np.testing.assert_array_equal(row, b["example_ids"])
+        np.testing.assert_array_equal(ds.targets_host[row], b["target"])
+        staged = (jnp.asarray(np.asarray(ds.feats)[row], jnp.float32)
+                  / 255.0 - 0.5) / 0.5
+        np.testing.assert_array_equal(np.asarray(staged), b["layer4_2"])
+        flat = np.asarray(staged).reshape(8, -1)
+        np.testing.assert_array_equal(flat, b["avgpool_512"])
+
+
+def test_cifar_fast_driver_matches_legacy_artifacts(cifar_root, tmp_path,
+                                                    synthetic_dataset,
+                                                    monkeypatch):
+    """images=cifar through the chunked driver produces the same log
+    artifact structure and step/batch stamps as the legacy streaming
+    loop (the mammal-path parity test, applied to CIFAR)."""
+    import multimodalgame_tpu.game.driver as drv
+    from multimodalgame_tpu.config import (finalize_flags, make_flags,
+                                           parse_args)
+    from multimodalgame_tpu.data.synthetic import write_descriptions_csv
+    from multimodalgame_tpu.train import run
+
+    monkeypatch.chdir(cifar_root)
+    monkeypatch.setattr(drv, "CIFAR_IMAGE_SIZE", 32)
+    descr = str(tmp_path / "descr10.csv")
+    write_descriptions_csv(descr, 10)
+
+    import h5py
+    dev = str(tmp_path / "dev_pixels.hdf5")
+    rng = np.random.RandomState(0)
+    with h5py.File(dev, "w") as fh:
+        fh.create_dataset("Target", data=np.arange(8, dtype=np.int64) % 10)
+        fh.create_dataset("Location",
+                          data=np.asarray([b"p%d.jpg" % i
+                                           for i in range(8)], dtype="S50"))
+        fh.create_dataset(
+            "avgpool_512",
+            data=rng.randn(8, 1, 3 * 32 * 32).astype(np.float32))
+
+    def flags_for(name, extra=()):
+        f = make_flags()
+        argv = [
+            "-experiment_name", name, "-model_type", "Fixed",
+            "-images", "cifar",
+            "-log_path", str(tmp_path / name),
+            "-img_feat", "avgpool_512", "-img_feat_dim", str(3 * 32 * 32),
+            "-batch_size", "8", "-batch_size_dev", "8",
+            "-rec_w_dim", "8", "-sender_out_dim", "8",
+            "-img_h_dim", "8", "-rec_hidden", "8", "-baseline_hid_dim", "8",
+            "-max_exchange", "2", "-max_epoch", "2",
+            "-top_k_dev", "2", "-top_k_train", "2",
+            "-descr_train", descr, "-descr_dev", descr,
+            "-train_file", synthetic_dataset["train"], "-dev_file", dev,
+            "-wv_dim", "16", "-glove_path", synthetic_dataset["glove"],
+            "-log_interval", "3", "-log_dev", "5",
+            "-save_after", "1000", "-save_interval", "1000",
+            "-exchange_samples", "1",
+        ] + list(extra)
+        parse_args(f, argv)
+        finalize_flags(f, argv)
+        os.makedirs(f.log_path, exist_ok=True)
+        return f
+
+    # The streaming loop resizes 40 images to 227 per batch; shrink its
+    # image size too so the comparison run is fast.
+    import multimodalgame_tpu.data.cifar as cifar_mod
+    real_load = cifar_mod.load_cifar
+
+    def small_load(batch_size, epoch, root="./", image_size=227):
+        return real_load(batch_size, epoch, root=root, image_size=32)
+
+    monkeypatch.setattr("multimodalgame_tpu.data.cifar.load_cifar",
+                        small_load)
+
+    f_fast = flags_for("cf")
+    f_slow = flags_for("cs", extra=["-nofast_driver"])
+    r_fast = run(f_fast, max_steps=8)
+    r_slow = run(f_slow, max_steps=8)
+    assert r_fast["step"] == r_slow["step"] == 8
+    assert len(r_fast["batch_accuracy"]) == len(r_slow["batch_accuracy"])
+
+    def line_kinds(path):
+        kinds = []
+        for ln in open(path).read().splitlines():
+            for head in ("Training Accuracy", "Loss Sender",
+                         "Loss Receiver (Y)", "Loss Receiver (Z)",
+                         "Loss Baseline", "Development Accuracy",
+                         "Conversation Length", "Mean Hamming",
+                         "Predictions", "Starting epoch", "Train:",
+                         "Eval:", "Entropy Sender Binary",
+                         "Entropy Receiver Predictions"):
+                if head in ln:
+                    kinds.append(head)
+                    break
+        return kinds
+
+    assert line_kinds(f_fast.log_file) == line_kinds(f_slow.log_file)
+
+    def stamps(path):
+        return [ln.split("Training Accuracy")[0].split(": ", 1)[-1]
+                for ln in open(path).read().splitlines()
+                if "Training Accuracy" in ln]
+    assert stamps(f_fast.log_file) == stamps(f_slow.log_file)

@@ -281,3 +281,46 @@ def test_fast_driver_resume(synthetic_dataset, tmp_path):
     out = run(f2, max_steps=7)
     assert out["step"] == 7
     assert "Loading from: " + f2.checkpoint in open(f2.log_file).read()
+
+
+def test_fast_driver_chunks_span_epochs(synthetic_dataset, tmp_path,
+                                        monkeypatch):
+    """Chunk boundaries come from host-visible cadences only — a single
+    compiled chunk crosses epoch ends (VERDICT round-2 #5). With 6-step
+    epochs (48 examples / batch 8) and no log/dev/save events in range,
+    the driver must dispatch one >6-step chunk and still print every
+    Starting-epoch banner in order."""
+    import multimodalgame_tpu.game.driver as drv
+    from multimodalgame_tpu.train import run
+
+    sizes = []
+    real_factory = drv.make_multistep_train_step_indexed
+
+    def spy_factory(*a, **kw):
+        real = real_factory(*a, **kw)
+
+        def wrapper(params, opts, feats, targets, idx, *rest, **rkw):
+            sizes.append(int(np.asarray(idx).shape[0]))
+            return real(params, opts, feats, targets, idx, *rest, **rkw)
+
+        return wrapper
+
+    monkeypatch.setattr(drv, "make_multistep_train_step_indexed",
+                        spy_factory)
+    paths = synthetic_dataset
+    f = _flags(paths, tmp_path, "span",
+               extra=["-log_interval", "1000", "-log_dev", "1000",
+                      "-save_after", "100000", "-exchange_samples", "0",
+                      "-max_epoch", "3"])
+    out = run(f, max_steps=17)
+    # 3 epochs x 6 steps, capped at 17: step 0 is a log boundary (single
+    # full-metrics step), the remaining 16 steps must arrive as 16 = one
+    # power-of-two chunk spanning all three epochs.
+    assert out["step"] == 17
+    assert sizes == [16], sizes
+    log = open(f.log_file).read()
+    for e in range(3):
+        assert "Starting epoch: {}".format(e) in log
+    # Banner order: epoch banners appear in increasing order.
+    pos = [log.index("Starting epoch: {}".format(e)) for e in range(3)]
+    assert pos == sorted(pos)

