@@ -74,8 +74,10 @@ class Receiver(nn.Module):
             feats, kernel_init=xavier_normal(),
             bias_init=nn.initializers.zeros, use_bias=bias, name=name)
         self.rnn = TorchGRUCell(self.z_dim, self.hid_dim, name="rnn")
-        # Communication head (model.py:258-260)
-        self.w_h = dense(self.hid_dim, "w_h")
+        # Communication head (model.py:258-260). w_h/s/d_h use ParamDense
+        # (same param names/shapes as nn.Dense) so precompute can fuse
+        # their kernels into one h_z matmul.
+        self.w_h = ParamDense(self.hid_dim, self.hid_dim, name="w_h")
         self.w_d = dense(self.hid_dim, "w_d", bias=False)
         self.w = dense(self.w_dim, "w")
         # Prediction head. y1 is stored as the reference's single
@@ -88,10 +90,11 @@ class Receiver(nn.Module):
                                   (self.hid_dim,))
         self.y2 = ParamDense(self.hid_dim, self.out_dim, name="y2")
         # Decision (STOP) head (model.py:265)
-        self.s = dense(self.s_dim, "s")
+        self.s = ParamDense(self.hid_dim, self.s_dim, name="s")
         if self.desc_attn:
             self.d_d = dense(self.desc_attn_dim, "d_d")
-            self.d_h = dense(self.desc_attn_dim, "d_h")
+            self.d_h = ParamDense(self.hid_dim, self.desc_attn_dim,
+                                  name="d_h")
             self.d_attn = dense(1, "d_attn")
 
     def __call__(self, z, h_z, desc, desc_set_padded=None,
@@ -131,6 +134,22 @@ class Receiver(nn.Module):
             k_desc = self.y1_kernel[self.hid_dim:]        # (desc, hid)
             cache["desc_proj"] = (
                 jnp.dot(desc, k_desc, preferred_element_type=desc.dtype))
+        # Fused h_z head matrix: s / y1-h-block / w_h (and d_h under
+        # attention) all contract the same ``(B, hid)`` hidden state, so
+        # one concatenated matmul replaces 3-4 separate small dots in the
+        # sequential per-turn chain (each output column is the identical
+        # dot product — same math, fewer latency-bound ops; the
+        # conversation-invariant concat happens once here). Parameters
+        # and checkpoint layout are untouched.
+        k_h = (self.y1_kernel[self.desc_dim:] if self.desc_attn
+               else self.y1_kernel[:self.hid_dim])
+        parts_k = [self.s.kernel, k_h, self.w_h.kernel]
+        parts_b = [self.s.bias, self.y1_bias, self.w_h.bias]
+        if self.desc_attn:
+            parts_k.append(self.d_h.kernel)
+            parts_b.append(self.d_h.bias)
+        cache["hz_k"] = jnp.concatenate(parts_k, axis=1)
+        cache["hz_b"] = jnp.concatenate(parts_b, axis=0)
         return cache
 
     def gru(self, z: jnp.ndarray, h_z: jnp.ndarray) -> jnp.ndarray:
@@ -163,12 +182,22 @@ class Receiver(nn.Module):
         desc = cache["desc"]
         num_desc = desc.shape[0]
 
-        s_logits = self.s(h_z_new)
+        # One fused matmul for every h_z-consuming head (see precompute):
+        # [s | y1-h-block (+y1_bias) | w_h | d_h?].
+        fused = (jnp.dot(h_z_new, cache["hz_k"],
+                         preferred_element_type=h_z_new.dtype)
+                 + cache["hz_b"])
+        o1 = self.s_dim
+        o2 = o1 + self.hid_dim
+        o3 = o2 + self.hid_dim
+        s_logits = fused[:, :o1]
+        y1h = fused[:, o1:o2]          # h_z @ y1_k_h + y1_bias
+        w_h_out = fused[:, o2:o3]      # w_h(h_z)
 
         if self.desc_attn:
             # Word-level attention (model.py:344-410): score every word
             # against h_z, softmax within each class's words, CBOW-pool.
-            dh = self.d_h(h_z_new)                        # (B, A)
+            dh = fused[:, o3:]                            # d_h(h_z) (B, A)
             pre = jnp.tanh(cache["dd"][None] + dh[:, None, None, :])
             scores = self.d_attn(pre)[..., 0]             # (B, D, L)
             neg = jnp.finfo(scores.dtype).min
@@ -176,22 +205,16 @@ class Receiver(nn.Module):
             alpha = nn.softmax(scores, axis=-1)           # (B, D, L)
             weighted_desc = jnp.einsum("bdl,dlv->bdv", alpha,
                                        cache["padded"])   # (B, D, desc)
-            # y1 with desc_attn concat order [desc, h_z] (model.py:409-410).
+            # y1 with desc_attn concat order [desc, h_z] (model.py:409-410);
+            # the h_z block and y1_bias arrive via the fused matmul.
             k_desc = self.y1_kernel[:self.desc_dim]
-            k_h = self.y1_kernel[self.desc_dim:]
             y_hid = jax.nn.relu(
                 jnp.einsum("bdv,vh->bdh", weighted_desc, k_desc)
-                + jnp.dot(h_z_new, k_h,
-                          preferred_element_type=h_z_new.dtype)[:, None, :]
-                + self.y1_bias)
+                + y1h[:, None, :])
         else:
             # y1 with build_inp concat order [h_z, desc] (model.py:548).
-            k_h = self.y1_kernel[:self.hid_dim]
             y_hid = jax.nn.relu(
-                jnp.dot(h_z_new, k_h,
-                        preferred_element_type=h_z_new.dtype)[:, None, :]
-                + cache["desc_proj"][None]
-                + self.y1_bias)                           # (B, D, hid)
+                y1h[:, None, :] + cache["desc_proj"][None])  # (B, D, hid)
 
         # y2 as an explicit multiply-reduce (out_dim is 1 in every
         # reference config): XLA fuses the whole relu(y1...) chain into
@@ -219,7 +242,7 @@ class Receiver(nn.Module):
             wd_inp = jnp.dot(y_scores.reshape(-1, num_desc), desc,
                              preferred_element_type=desc.dtype)
 
-        h_w = jnp.tanh(self.w_h(h_z_new) + self.w_d(wd_inp))
+        h_w = jnp.tanh(w_h_out + self.w_d(wd_inp))
         w_logits = self.w(h_w)
 
         return s_logits, y, w_logits

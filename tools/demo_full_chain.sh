@@ -60,7 +60,7 @@ PY -m multimodalgame_tpu \
   -descr_train ./descriptions.csv -descr_dev ./descriptions.csv \
   -train_file ./train.hdf5 -dev_file ./dev.hdf5 \
   -wv_type fake -wv_dim 100 \
-  -log_interval 100 -log_dev 200 -save_after 100 -save_interval 200 \
+  -log_interval 100 -log_dev 200 -save_after 0 -save_interval 200 \
   -exchange_samples 3
 
 PY -m multimodalgame_tpu \
