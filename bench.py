@@ -160,25 +160,36 @@ def measure_epoch_throughput(num_epochs: int = 20) -> dict:
     def run_epochs(first: int, count: int):
         """Train ``count`` epochs with the product driver's cross-epoch
         chunking (game/driver.py round-3): per-epoch reference-parity
-        shuffle plans are concatenated and consumed as power-of-two
+        shuffle plans fill a rolling buffer consumed as power-of-two
         chunks bounded by host-visible cadences only — here none, so
         chunks reach the 512-step maximum and a single program spans
-        ~11 epochs. Metric fetch stays one chunk behind (the driver's
-        flush_events overlap)."""
+        ~11 epochs. Planning of later epochs overlaps the dispatched
+        chunks' device execution (dispatch is async), and the metric
+        fetch stays one chunk behind — the driver's refill/flush_events
+        overlap pattern."""
         nonlocal params, opt_states, key
-        plan = np.concatenate(
-            [ds.epoch_indices(first + e, True, batch)
-             for e in range(count)], axis=0)
-        acc = None
-        off = 0
-        for size in decompose_chunks(plan.shape[0]):
+        state = {"acc": None, "steps": 0}
+        buf = np.zeros((0, batch), np.int32)
+
+        def dispatch(rows):
+            nonlocal params, opt_states, key
             key, sub = jax.random.split(key)
             params, opt_states, sm = chunk(
                 params, opt_states, ds.feats, ds.targets,
-                jnp.asarray(plan[off:off + size]), desc, sub)
-            acc = sm.accuracy
-            off += size
-        return plan.shape[0], acc
+                jnp.asarray(rows), desc, sub)
+            state["acc"] = sm.accuracy
+            state["steps"] += rows.shape[0]
+
+        for e in range(count):
+            buf = np.concatenate(
+                [buf, ds.epoch_indices(first + e, True, batch)], axis=0)
+            while buf.shape[0] >= 512:
+                dispatch(buf[:512])
+                buf = buf[512:]
+        for size in decompose_chunks(buf.shape[0]):
+            dispatch(buf[:size])
+            buf = buf[size:]
+        return state["steps"], state["acc"]
 
     # Warmup: compile every chunk size the measured runs will use.
     _, acc = run_epochs(0, num_epochs)

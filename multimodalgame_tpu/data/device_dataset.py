@@ -130,9 +130,16 @@ class DeviceDataset:
             random.seed(11 + epoch)
             random.shuffle(order)
         nb = self.size // batch_size
-        rows = [sorted(order[i * batch_size:(i + 1) * batch_size])
-                for i in range(nb)]
+        # Vectorized in-batch ascending sort (identical to per-row
+        # ``sorted``): the plan is built on the host between chunk
+        # dispatches, so its cost is hot-path-adjacent (~2 ms/epoch in
+        # pure Python at canonical scale, ~10x less here).
+        rows = np.sort(np.asarray(order[:nb * batch_size],
+                                  dtype=np.int32).reshape(nb, batch_size),
+                       axis=1)
         if truncate_final_batch and self.size - nb * batch_size > 0:
             tail = sorted(order[nb * batch_size:])
-            rows.append(tail + [-1] * (batch_size - len(tail)))
-        return np.asarray(rows, dtype=np.int32)
+            tail_row = np.full((1, batch_size), -1, np.int32)
+            tail_row[0, :len(tail)] = tail
+            rows = np.concatenate([rows, tail_row], axis=0)
+        return rows
