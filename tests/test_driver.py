@@ -324,3 +324,60 @@ def test_fast_driver_chunks_span_epochs(synthetic_dataset, tmp_path,
     # Banner order: epoch banners appear in increasing order.
     pos = [log.index("Starting epoch: {}".format(e)) for e in range(3)]
     assert pos == sorted(pos)
+
+
+def test_deferred_best_checkpoint_matches_dev_step_params(
+        synthetic_dataset, tmp_path, monkeypatch):
+    """The dev-eval fetch is deferred past further training dispatch
+    (round 3); the best checkpoint must still hold the parameters AS OF
+    the dev step (the device-side snapshot), not the later ones. Pinned
+    by re-running the dev sweep from the saved checkpoint and
+    reproducing the logged accuracy exactly."""
+    import multimodalgame_tpu.game.driver as drv
+    from multimodalgame_tpu.data.descriptions import load_descriptions
+    from multimodalgame_tpu.game.fast_eval import eval_dev_device
+    from multimodalgame_tpu.train import run
+    from multimodalgame_tpu.utils.checkpoint import load_checkpoint
+
+    paths = synthetic_dataset
+    saved = {}
+    real_save = drv.save_checkpoint
+
+    def spy_save(path, data, params, opts):
+        if path.endswith("_best"):
+            saved[data["step"]] = jax.tree_util.tree_map(np.asarray,
+                                                         params)
+        return real_save(path, data, params, opts)
+
+    monkeypatch.setattr(drv, "save_checkpoint", spy_save)
+    f = _flags(paths, tmp_path, "defer",
+               extra=["-log_interval", "1000", "-log_dev", "4",
+                      "-save_after", "0", "-save_interval", "1000",
+                      "-exchange_samples", "0"])
+    out = run(f, max_steps=7)  # dev at steps 0 and 4; training to 7
+    assert out["step"] == 7
+    assert saved, "no best checkpoint was written"
+    t_best = max(saved)
+    assert t_best < 6  # training continued after the snapshot
+
+    # The snapshot must differ from the final params (later updates)...
+    final = jax.tree_util.tree_map(np.asarray, out["params"])
+    leaves_a = jax.tree_util.tree_leaves(saved[t_best])
+    leaves_b = jax.tree_util.tree_leaves(final)
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(leaves_a, leaves_b))
+
+    # ...and re-running the dev sweep from it must reproduce the logged
+    # accuracy at that step exactly (same deterministic eval, but a
+    # fresh PRNG key — eval-mode conversations are key-independent).
+    logged = dict(out["metrics"]["Development Accuracy"])
+    desc = load_descriptions(paths["descr"], f.wv_type, f.wv_dim,
+                             glove_path=f.glove_path)
+    ds = DeviceDataset.from_hdf5(paths["dev"], "avgpool_512",
+                                 map_labels=desc.map_labels)
+    mods = AgentModules(GameConfig.from_flags(f))
+    acc, _, _, _ = eval_dev_device(
+        mods, saved[t_best], ds, epoch=0, shuffle=f.shuffle_dev,
+        batch_size=f.batch_size_dev, top_k=f.top_k_dev,
+        desc=jnp.asarray(desc.desc), key=jax.random.PRNGKey(99))
+    assert acc == pytest.approx(logged[t_best], abs=1e-9)
