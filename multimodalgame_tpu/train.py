@@ -203,13 +203,15 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     cfg = GameConfig.from_flags(flags)
     modules = AgentModules(cfg)
 
+    uses_fast_driver = flags.fast_driver and not (
+        flags.images == "cifar" and flags.attn_extra_context)
     if int(getattr(flags, "mesh", 0) or 0) not in (0, 1) and not (
-            flags.fast_driver and flags.images == "mammal"
-            and not flags.eval_only and not flags.binary_only):
+            uses_fast_driver and not flags.eval_only
+            and not flags.binary_only):
         raise ValueError(
             "-mesh data parallelism is implemented for the chunked "
-            "training driver (-fast_driver with -images mammal); drop "
-            "-mesh or use the fast driver")
+            "training driver (-fast_driver); drop -mesh or use the "
+            "fast driver")
 
     # Descriptions (model.py:1066-1108). ``fake`` keeps the CSV structure
     # but substitutes deterministic random word vectors.

@@ -176,3 +176,81 @@ def test_sharded_dev_eval_matches_unsharded(synthetic_dataset):
         assert sharded[1][k] == pytest.approx(base[1][k], abs=1e-4), k
     np.testing.assert_array_equal(base[2], sharded[2])
     np.testing.assert_array_equal(base[3], sharded[3])
+
+
+def test_mesh_cifar_fast_driver(tmp_path, synthetic_dataset, monkeypatch):
+    """-mesh composes with the CIFAR staged-uint8 path: the batch gather
+    + on-device normalization shard like any other step (replicated u8
+    pixels, sharded index rows), and the run matches single-device."""
+    import os
+    import pickle
+
+    import h5py
+
+    import multimodalgame_tpu.game.driver as drv
+    from multimodalgame_tpu.data.synthetic import write_descriptions_csv
+    from multimodalgame_tpu.train import run
+
+    root = tmp_path / "cifar"
+    os.makedirs(root / "cifar-10-batches-py")
+    rng = np.random.RandomState(0)
+    payload = {
+        b"data": rng.randint(0, 256, size=(40, 3072), dtype=np.uint8),
+        b"labels": [int(x) for x in rng.randint(0, 10, size=40)],
+    }
+    with open(root / "cifar-10-batches-py" / "test_batch", "wb") as f:
+        pickle.dump(payload, f)
+    monkeypatch.chdir(root)
+    monkeypatch.setattr(drv, "CIFAR_IMAGE_SIZE", 32)
+
+    descr = str(tmp_path / "descr10.csv")
+    write_descriptions_csv(descr, 10)
+    dev = str(tmp_path / "dev_pixels.hdf5")
+    with h5py.File(dev, "w") as fh:
+        fh.create_dataset("Target", data=np.arange(8, dtype=np.int64) % 10)
+        fh.create_dataset("Location",
+                          data=np.asarray([b"p%d.jpg" % i
+                                           for i in range(8)], dtype="S50"))
+        fh.create_dataset(
+            "avgpool_512",
+            data=np.random.RandomState(0).randn(
+                8, 1, 3 * 32 * 32).astype(np.float32))
+
+    def flags_for(name, extra=()):
+        from multimodalgame_tpu.config import (finalize_flags, make_flags,
+                                               parse_args)
+        f = make_flags()
+        argv = [
+            "-experiment_name", name, "-model_type", "Fixed",
+            "-images", "cifar", "-log_path", str(tmp_path / name),
+            "-img_feat", "avgpool_512", "-img_feat_dim", str(3 * 32 * 32),
+            "-batch_size", "8", "-batch_size_dev", "8",
+            "-rec_w_dim", "8", "-sender_out_dim", "8",
+            "-img_h_dim", "8", "-rec_hidden", "8", "-baseline_hid_dim", "8",
+            "-max_exchange", "2", "-max_epoch", "2",
+            "-top_k_dev", "2", "-top_k_train", "2",
+            "-descr_train", descr, "-descr_dev", descr,
+            "-train_file", synthetic_dataset["train"], "-dev_file", dev,
+            "-wv_dim", "16", "-glove_path", synthetic_dataset["glove"],
+            "-log_interval", "1000", "-log_dev", "1000",
+            "-save_after", "100000", "-save_interval", "100000",
+            "-exchange_samples", "0",
+        ] + list(extra)
+        parse_args(f, argv)
+        finalize_flags(f, argv)
+        os.makedirs(f.log_path, exist_ok=True)
+        return f
+
+    r_one = run(flags_for("c1"), max_steps=6)
+    r_mesh = run(flags_for("c8", extra=["-mesh", "8"]), max_steps=6)
+    assert r_one["step"] == r_mesh["step"] == 6
+    np.testing.assert_allclose(r_mesh["batch_accuracy"],
+                               r_one["batch_accuracy"], atol=1e-6)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(r_one["params"]),
+            jax.tree_util.tree_leaves_with_path(r_mesh["params"])):
+        label = jax.tree_util.keystr(pa)
+        if "y2']['bias" in label:   # zero-grad noise walk (see above)
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5, err_msg=label)
