@@ -182,7 +182,6 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     dev_accuracy = []
     timer = StepTimer()
     state = {"steps_timed": 0}
-    epoch = 0
     done = False
 
     def flush_acc():
