@@ -34,10 +34,18 @@ from multimodalgame_tpu.game.losses import get_rec_outp
 
 
 class Predictor:
-    """Checkpoint-backed batched game predictor."""
+    """Checkpoint-backed batched game predictor.
+
+    ``mesh`` (a ``jax.sharding.Mesh``, e.g. ``parallel.mesh.make_mesh()``)
+    serves data-parallel: parameters/descriptions replicate, each request
+    batch shards on its leading axis (batch sizes divisible by the mesh
+    shard evenly; others fall back to replicated execution), and the same
+    compiled conversation runs SPMD — the -mesh recipe of the training
+    driver applied to inference."""
 
     def __init__(self, cfg: GameConfig, params: Dict,
-                 desc_pack: DescriptionPack, use_pallas: bool = False):
+                 desc_pack: DescriptionPack, use_pallas: bool = False,
+                 mesh=None):
         self.cfg = cfg
         self.params = params
         self.desc_pack = desc_pack
@@ -46,10 +54,29 @@ class Predictor:
                         if cfg.desc_attn else None)
         self._pmask = (jnp.asarray(desc_pack.desc_set_mask)
                        if cfg.desc_attn else None)
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from multimodalgame_tpu.parallel.mesh import BATCH_AXIS
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self._desc = jax.device_put(self._desc, rep)
+            if self._padded is not None:
+                self._padded = jax.device_put(self._padded, rep)
+                self._pmask = jax.device_put(self._pmask, rep)
+            self._rep = rep
+            self._row = NamedSharding(mesh, P(BATCH_AXIS))
         self._modules = AgentModules(cfg)
         self._exchange = make_eval_exchange(self._modules,
                                             use_pallas=use_pallas)
         self._select = jax.jit(self._select_fn)
+
+    def _place(self, x):
+        if x is None or self._mesh is None:
+            return x
+        return jax.device_put(
+            x, self._row if x.shape[0] % self._mesh.size == 0
+            else self._rep)
 
     @staticmethod
     def _select_fn(y, stop_masks):
@@ -59,7 +86,7 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, flags: Flags, desc_pack: DescriptionPack,
-                        use_pallas: bool = False) -> "Predictor":
+                        use_pallas: bool = False, mesh=None) -> "Predictor":
         """Load from ``flags.checkpoint`` — msgpack (native) or ``.pt``
         (reference layout)."""
         cfg = GameConfig.from_flags(flags)
@@ -82,7 +109,8 @@ class Predictor:
             from multimodalgame_tpu.utils.checkpoint import load_checkpoint
             _, params, _ = load_checkpoint(path, params,
                                            _opt_placeholder(cfg, params))
-        return cls(cfg, params, desc_pack, use_pallas=use_pallas)
+        return cls(cfg, params, desc_pack, use_pallas=use_pallas,
+                   mesh=mesh)
 
     def predict(self, features: np.ndarray,
                 data_context: Optional[np.ndarray] = None) -> Dict:
@@ -92,13 +120,14 @@ class Predictor:
         ``conversation_length`` (B,), ``sender_messages`` /
         ``receiver_messages`` (n, B, W), and ``n_steps``.
         """
-        data = jnp.asarray(features, jnp.float32)
+        data = self._place(jnp.asarray(features, jnp.float32))
+        ctx = (None if data_context is None
+               else self._place(jnp.asarray(data_context, jnp.float32)))
         ex = self._exchange(self.params, data, self._desc,
                             jax.random.PRNGKey(0),
                             desc_set_padded=self._padded,
                             desc_set_mask=self._pmask,
-                            data_context=None if data_context is None
-                            else jnp.asarray(data_context))
+                            data_context=ctx)
         dist, ex = jax.device_get((self._select(ex.y, ex.stop_masks), ex))
         n = int(ex.n_steps)
         return {
@@ -125,7 +154,12 @@ def main(argv=None) -> None:
     flags = flags_from_argv(argv)
     desc_pack = load_descriptions(flags.descr_dev, flags.wv_type,
                                   flags.wv_dim, glove_path=flags.glove_path)
-    pred = Predictor.from_checkpoint(flags, desc_pack)
+    mesh = None
+    n_mesh = int(getattr(flags, "mesh", 0) or 0)
+    if n_mesh == -1 or n_mesh > 1:
+        from multimodalgame_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(None if n_mesh == -1 else n_mesh)
+    pred = Predictor.from_checkpoint(flags, desc_pack, mesh=mesh)
     for batch in load_hdf5(flags.dev_file, flags.batch_size_dev, 0,
                            shuffle=False, truncate_final_batch=True,
                            map_labels=desc_pack.map_labels):

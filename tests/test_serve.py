@@ -46,3 +46,42 @@ def test_predictor_from_trained_checkpoint(synthetic_dataset, tmp_path):
     # Deterministic.
     out2 = pred.predict(feats)
     np.testing.assert_array_equal(out["log_probs"], out2["log_probs"])
+
+
+def test_predictor_mesh_matches_single_device(synthetic_dataset, tmp_path):
+    """Mesh-sharded serving returns identical predictions/messages to
+    single-device serving (deterministic eval conversation; batch
+    sharded, params replicated)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalgame_tpu.data.descriptions import load_descriptions
+    from multimodalgame_tpu.game.agents import AgentModules, init_params
+    from multimodalgame_tpu.game.config import GameConfig
+    from multimodalgame_tpu.parallel.mesh import make_mesh
+    from multimodalgame_tpu.serve import Predictor
+
+    paths = synthetic_dataset
+    pack = load_descriptions(paths["descr"], "fake", 16)
+    cfg = GameConfig(img_feat_dim=512, img_h_dim=16, sender_out_dim=8,
+                     rec_w_dim=8, rec_hidden=16, wv_dim=16,
+                     max_exchange=3, baseline_hid_dim=16,
+                     fixed_exchange=False)
+    params = init_params(AgentModules(cfg), jax.random.PRNGKey(0),
+                         num_classes=pack.num_classes)
+
+    rng = np.random.RandomState(3)
+    feats = rng.randn(16, 512).astype(np.float32)       # 16 % 8 == 0
+    tail = rng.randn(6, 512).astype(np.float32)         # 6 % 8 != 0
+
+    base = Predictor(cfg, params, pack)
+    sharded = Predictor(cfg, params, pack, mesh=make_mesh(8))
+    for x in (feats, tail):
+        a, b = base.predict(x), sharded.predict(x)
+        np.testing.assert_array_equal(a["prediction"], b["prediction"])
+        np.testing.assert_allclose(a["log_probs"], b["log_probs"],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(a["sender_messages"],
+                                      b["sender_messages"])
+        assert a["n_steps"] == b["n_steps"]
