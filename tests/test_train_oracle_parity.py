@@ -33,7 +33,8 @@ from multimodalgame_tpu.utils.torch_interop import params_to_torch_state
 
 from tests.torch_oracle import (OracleBaseline, OracleReceiver, OracleSender,
                                 build_torch_optimizers, optax_style_clip_,
-                                oracle_losses, oracle_train_exchange)
+                                oracle_apply_updates, oracle_losses,
+                                oracle_train_exchange)
 
 BASE = dict(img_feat_dim=24, img_h_dim=12, sender_out_dim=10, rec_w_dim=10,
             rec_hidden=14, wv_dim=16, max_exchange=4, baseline_hid_dim=12,
@@ -221,3 +222,65 @@ def test_train_step_parity_desc_attn(synthetic_dataset):
 def test_train_step_parity_mou():
     cfg = GameConfig(**{**BASE, **PRESETS["Adaptive"]}, sender_mix="mou")
     run_case(cfg)
+
+
+@pytest.mark.parametrize("optim", OPTIMS)
+def test_train_trajectory_parity(optim):
+    """Multi-step f64 trajectory parity (beyond the single-step cases
+    above): three consecutive optimizer steps with per-step bit-trace
+    injection. This pins the *accumulator evolution* — torch RMSprop's
+    square_avg / Adam's moments and bias correction at steps 2-3 — not
+    just fresh-state updates."""
+    cfg = GameConfig(**{**BASE, **PRESETS["Adaptive"]}, optim_type=optim)
+    n_steps = 3
+
+    with jax.enable_x64(True):
+        mods = AgentModules(cfg)
+        params = f64(init_params(mods, jax.random.PRNGKey(0),
+                                 num_classes=NUM_CLASSES, max_words=6))
+        params_np = jax.tree_util.tree_map(np.asarray, params)
+        params0_np = params_np
+        opts = init_opt_states(cfg, params)
+
+        rng = np.random.RandomState(17)
+        data = rng.randn(BATCH, cfg.img_feat_dim)
+        target = rng.randint(0, NUM_CLASSES, size=BATCH)
+        desc = rng.randn(NUM_CLASSES, cfg.wv_dim)
+        j = lambda x: jnp.asarray(x, jnp.float64)
+
+        step = make_train_step(mods, top_k=2, batch_denom=BATCH,
+                               fast=False)
+        key = jax.random.PRNGKey(7)
+        jax_params_per_step = []
+        traces_per_step = []
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            params, opts, m = step(f64(params_np), opts, j(data),
+                                   jnp.asarray(target), j(desc), sub)
+            params_np = jax.tree_util.tree_map(np.asarray, params)
+            jax_params_per_step.append(params_np)
+            traces_per_step.append({
+                "z": np.asarray(m.exchange.sen_feats),
+                "w": np.asarray(m.exchange.rec_feats),
+                "s": np.asarray(m.exchange.stop_feats)})
+
+    # Torch: the exact same initial weights, optimizers persist across
+    # steps.
+    state0 = params_to_torch_state(params0_np)
+    tmods = build_torch_modules(cfg, state0)
+    optimizers = build_torch_optimizers(cfg, tmods)
+    t = lambda x: torch.as_tensor(np.asarray(x, np.float64))
+    for i in range(n_steps):
+        rec = oracle_train_exchange(
+            tmods["sender"], tmods["receiver"], tmods["baseline_sen"],
+            tmods["baseline_rec"], cfg, t(data), t(desc),
+            traces_per_step[i])
+        losses_t = oracle_losses(cfg, rec, torch.as_tensor(target))
+        oracle_apply_updates(losses_t, tmods, optimizers)
+        want = params_to_torch_state(jax_params_per_step[i])
+        for name in AGENTS:
+            for pname, p in tmods[name].named_parameters():
+                np.testing.assert_allclose(
+                    p.detach().numpy(), want[name][pname],
+                    rtol=1e-8, atol=1e-10,
+                    err_msg=f"step {i} {name}.{pname}")
