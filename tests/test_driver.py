@@ -381,3 +381,42 @@ def test_deferred_best_checkpoint_matches_dev_step_params(
         batch_size=f.batch_size_dev, top_k=f.top_k_dev,
         desc=jnp.asarray(desc.desc), key=jax.random.PRNGKey(99))
     assert acc == pytest.approx(logged[t_best], abs=1e-9)
+
+
+def test_fast_driver_dense_boundaries(synthetic_dataset, tmp_path):
+    """Stress the flattened loop where EVERY step is a log boundary and
+    every other step a dev boundary (log_interval=1, log_dev=2): event
+    ordering, accuracy windows, and the step/batch stamps must all hold
+    with zero-length chunks between boundaries."""
+    from multimodalgame_tpu.train import run
+
+    paths = synthetic_dataset
+    f = _flags(paths, tmp_path, "dense",
+               extra=["-log_interval", "1", "-log_dev", "2",
+                      "-save_after", "0", "-save_interval", "3",
+                      "-exchange_samples", "0"])
+    out = run(f, max_steps=5)
+    assert out["step"] == 5
+    assert len(out["batch_accuracy"]) == 5
+    log = open(f.log_file).read()
+    # One Training Accuracy line per step, stamped 0..4.
+    stamps = [ln.split("Training Accuracy")[0].split(": ", 1)[-1]
+              for ln in log.splitlines() if "Training Accuracy" in ln]
+    assert len(stamps) == 5
+    steps = [int(s.split("Step: ")[1].split(" ")[0]) for s in stamps]
+    assert steps == [0, 1, 2, 3, 4]
+    # Dev lines at steps 0, 2, 4 in order.
+    dev_steps = [int(ln.split("Step: ")[1].split(" ")[0])
+                 for ln in log.splitlines()
+                 if "Development Accuracy" in ln and "Step: " in ln]
+    assert dev_steps == [0, 2, 4]
+    # Dev lines for step t print after step t's window and before
+    # step t+1's window.
+    order = []
+    for ln in log.splitlines():
+        if "Training Accuracy" in ln:
+            order.append(("w", int(ln.split("Step: ")[1].split(" ")[0])))
+        elif "Development Accuracy" in ln and "Step: " in ln:
+            order.append(("d", int(ln.split("Step: ")[1].split(" ")[0])))
+    assert order == [("w", 0), ("d", 0), ("w", 1), ("w", 2), ("d", 2),
+                     ("w", 3), ("w", 4), ("d", 4)]
