@@ -81,3 +81,75 @@ def test_mesh_validates_device_count():
 def test_dryrun_multichip_entry():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_step_desc_attention(synthetic_dataset):
+    """Data-parallel step with word-level description attention: the
+    padded word set replicates, per-example attention shards with the
+    batch, and the sharded update matches single-device execution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalgame_tpu.data.descriptions import load_descriptions
+    from multimodalgame_tpu.game.agents import AgentModules, init_params
+    from multimodalgame_tpu.game.config import GameConfig
+    from multimodalgame_tpu.game.train import init_opt_states, make_train_step
+    from multimodalgame_tpu.parallel.mesh import (make_mesh,
+                                                  make_sharded_train_step,
+                                                  replicate, shard_batch)
+
+    pack = load_descriptions(synthetic_dataset["descr"], "fake", 16)
+    cfg = GameConfig(img_feat_dim=32, img_h_dim=16, sender_out_dim=8,
+                     rec_w_dim=8, rec_hidden=16, wv_dim=16, max_exchange=3,
+                     baseline_hid_dim=16, fixed_exchange=False,
+                     desc_attn=True, desc_attn_dim=6,
+                     entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01)
+    mods = AgentModules(cfg)
+    params = init_params(mods, jax.random.PRNGKey(0),
+                         num_classes=pack.num_classes,
+                         max_words=max(pack.desc_set_lens))
+    opts = init_opt_states(cfg, params)
+
+    rng = np.random.RandomState(2)
+    data = jnp.asarray(rng.randn(16, 32), jnp.float32)
+    target = jnp.asarray(rng.randint(0, pack.num_classes, size=16))
+    desc = jnp.asarray(pack.desc)
+    padded = jnp.asarray(pack.desc_set_padded)
+    pmask = jnp.asarray(pack.desc_set_mask)
+    key = jax.random.PRNGKey(9)
+
+    base_step = make_train_step(mods, top_k=2, batch_denom=16, fast=False)
+    b_params, _, bm = base_step(params, opts, data, target, desc, key,
+                                desc_set_padded=padded,
+                                desc_set_mask=pmask)
+
+    mesh = make_mesh(8)
+    params2 = init_params(mods, jax.random.PRNGKey(0),
+                          num_classes=pack.num_classes,
+                          max_words=max(pack.desc_set_lens))
+    opts2 = init_opt_states(cfg, params2)
+    sstep = make_sharded_train_step(mods, top_k=2, batch_denom=16,
+                                    mesh=mesh, fast=False)
+    s_params, _, sm = sstep(
+        replicate(params2, mesh), replicate(opts2, mesh),
+        shard_batch(data, mesh), shard_batch(target, mesh),
+        replicate(desc, mesh), replicate(key, mesh),
+        desc_set_padded=replicate(padded, mesh),
+        desc_set_mask=replicate(pmask, mesh))
+
+    np.testing.assert_allclose(float(sm.loss_rec), float(bm.loss_rec),
+                               rtol=2e-5, atol=1e-6)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(b_params),
+            jax.tree_util.tree_leaves_with_path(s_params)):
+        label = jax.tree_util.keystr(pa)
+        # Analytically-zero-gradient biases (softmax shift invariance:
+        # y2.bias under log_softmax, d_attn.bias under the word softmax)
+        # random-walk on reduction-order noise under RMSprop — their
+        # values legitimately differ between shardings.
+        if "y2']['bias" in label or "d_attn']['bias" in label:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=label)
