@@ -420,3 +420,41 @@ def test_fast_driver_dense_boundaries(synthetic_dataset, tmp_path):
             order.append(("d", int(ln.split("Step: ")[1].split(" ")[0])))
     assert order == [("w", 0), ("d", 0), ("w", 1), ("w", 2), ("d", 2),
                      ("w", 3), ("w", 4), ("d", 4)]
+
+
+def test_fast_driver_debug_mode(synthetic_dataset, tmp_path):
+    """-debug arms jax_debug_nans (the reference's np.seterr analog,
+    model.py:1806-1807); the chunked driver's scans and donated buffers
+    must run clean under it."""
+    import jax
+
+    from multimodalgame_tpu.train import run
+
+    paths = synthetic_dataset
+    f = _flags(paths, tmp_path, "dbg",
+               extra=["-debug", "-exchange_samples", "0",
+                      "-log_dev", "1000"])
+    try:
+        out = run(f, max_steps=3)
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert out["step"] == 3
+    assert all(np.isfinite(a) for a in out["batch_accuracy"])
+
+
+def test_mesh_driver_resume(synthetic_dataset, tmp_path):
+    """Checkpoint resume under -mesh: the loaded trees re-place onto the
+    mesh and training continues from the saved step."""
+    from multimodalgame_tpu.train import run
+
+    paths = synthetic_dataset
+    f1 = _flags(paths, tmp_path, "mres",
+                extra=["-mesh", "8", "-save_after", "0",
+                       "-save_interval", "2", "-exchange_samples", "0"])
+    run(f1, max_steps=3)
+    f2 = _flags(paths, tmp_path, "mres",
+                extra=["-mesh", "8", "-save_after", "0",
+                       "-save_interval", "2", "-exchange_samples", "0"])
+    out = run(f2, max_steps=5)
+    assert out["step"] == 5
+    assert "Loading from: " + f2.checkpoint in open(f2.log_file).read()
