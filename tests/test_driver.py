@@ -431,6 +431,7 @@ def test_fast_driver_debug_mode(synthetic_dataset, tmp_path):
     from multimodalgame_tpu.train import run
 
     paths = synthetic_dataset
+    old_seterr = np.seterr()   # -debug arms np.seterr(all="raise")
     f = _flags(paths, tmp_path, "dbg",
                extra=["-debug", "-exchange_samples", "0",
                       "-log_dev", "1000"])
@@ -438,6 +439,7 @@ def test_fast_driver_debug_mode(synthetic_dataset, tmp_path):
         out = run(f, max_steps=3)
     finally:
         jax.config.update("jax_debug_nans", False)
+        np.seterr(**old_seterr)
     assert out["step"] == 3
     assert all(np.isfinite(a) for a in out["batch_accuracy"])
 
