@@ -81,9 +81,15 @@ def prefetch(iterator: Iterator, depth: int = 2,
     ``to_device=True`` additionally stages each batch's arrays onto the
     default device from the worker thread (async H2D), so the training
     loop never blocks on transfers.
+
+    The worker shuts down when the consumer closes (or abandons) the
+    generator: a consumer that stops mid-epoch — e.g. the training loop
+    hitting ``max_steps`` — must not strand a thread blocked on a full
+    queue holding device buffers for the rest of the process.
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
 
     def stage(item):
         if not to_device:
@@ -93,17 +99,39 @@ def prefetch(iterator: Iterator, depth: int = 2,
                     and v.dtype.kind in "fiu" else v)
                 for k, v in item.items()}
 
+    def put(item) -> bool:
+        """Bounded put that gives up once the consumer has left."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in iterator:
-                q.put(stage(item))
+                if not put(stage(item)):
+                    return
         finally:
-            q.put(_END)
+            put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+    finally:
+        stop.set()
+        # Unblock a worker mid-put and reap it so no dangling thread
+        # races later device work.
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)

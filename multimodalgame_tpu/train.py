@@ -451,6 +451,11 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
             step += 1
             if max_steps is not None and step >= max_steps:
                 done = True
+                # Close the abandoned prefetch generator so its worker
+                # thread (and any staged device buffers) are reaped now
+                # rather than at GC time.
+                if hasattr(dataloader, "close"):
+                    dataloader.close()
                 break
 
         if timer.count:

@@ -68,3 +68,25 @@ def test_prefetch_preserves_order(tmp_path):
     fetched = [b["target"] for b in prefetch(load_hdf5(path, 5, 1, True))]
     for a, b in zip(plain, fetched):
         assert np.array_equal(a, b)
+
+
+def test_prefetch_abandoned_consumer_reaps_worker(tmp_path):
+    """A consumer that stops mid-epoch (the training loop hitting
+    max_steps) must not strand the worker thread blocked on a full
+    queue — leaked workers hold h5py handles/device buffers and have
+    been observed alive during *later* unrelated work."""
+    import threading
+
+    path = str(tmp_path / "t.hdf5")
+    write_feature_hdf5(path, 40, 2, seed=0)
+    before = set(threading.enumerate())
+
+    it = prefetch(load_hdf5(path, 2, 1, True), depth=1)
+    next(it)          # worker is now blocked putting batch 3 (queue full)
+    it.close()        # consumer leaves mid-epoch
+
+    leaked = [t for t in threading.enumerate()
+              if t not in before and t.is_alive()]
+    for t in leaked:  # close() joins with a timeout; give stragglers 2 s
+        t.join(timeout=2.0)
+    assert not [t for t in leaked if t.is_alive()]
