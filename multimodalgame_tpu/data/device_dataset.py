@@ -121,8 +121,16 @@ class DeviceDataset:
 
         CIFAR datasets (``numpy_shuffle=True``) use the streaming
         loader's semantics instead: ``RandomState(11 + epoch)``
-        permutation, unsorted in-batch order (data/cifar.py)."""
-        if getattr(self, "numpy_shuffle", False) and shuffle:
+        permutation, unsorted in-batch order, ragged tail always dropped
+        (data/cifar.py). ``shuffle`` is ignored for them — the streaming
+        loader and the reference's CIFAR DataLoader (model.py:1195-1206)
+        have no unshuffled mode, so ``-noshuffle_train`` must not change
+        the staged path's data order either."""
+        if getattr(self, "numpy_shuffle", False):
+            if truncate_final_batch:
+                raise ValueError(
+                    "truncate_final_batch is not defined for CIFAR-staged "
+                    "datasets: the streaming loader drops the ragged tail")
             from multimodalgame_tpu.data.cifar import cifar_epoch_perm
             return cifar_epoch_perm(self.size, epoch, batch_size)
         order = list(range(self.size))

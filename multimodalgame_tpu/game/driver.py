@@ -130,11 +130,10 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     mesh = resolve_mesh(flags)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from multimodalgame_tpu.parallel.mesh import BATCH_AXIS
+        from multimodalgame_tpu.parallel.mesh import axis_placer
         rep = NamedSharding(mesh, P())
-        n_mesh = mesh.size
         flogger.Log("Data-parallel mesh: {} devices ({})".format(
-            n_mesh, jax.devices()[0].platform))
+            mesh.size, jax.devices()[0].platform))
         params = jax.device_put(params, rep)
         opt_states = jax.device_put(opt_states, rep)
         desc_j = jax.device_put(desc_j, rep)
@@ -143,13 +142,9 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             pmask_j = jax.device_put(pmask_j, rep)
         train_ds.place(rep)
         dev_ds.place(rep)
-
-        def put_rows(rows):
-            rows = np.asarray(rows)
-            if rows.shape[-1] % n_mesh:   # ragged tail: replicate
-                return jax.device_put(rows, rep)
-            spec = P(*([None] * (rows.ndim - 1) + [BATCH_AXIS]))
-            return jax.device_put(rows, NamedSharding(mesh, spec))
+        # Batch-index rows shard on their trailing (batch) axis; ragged
+        # tails replicate.
+        put_rows = axis_placer(mesh, axis=-1)
     else:
         put_rows = jnp.asarray
 
@@ -268,7 +263,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         best-checkpoint logic against the snapshot taken at the dev
         step."""
         nonlocal best_dev_acc
-        _, finish, t, i_batch, epoch, snapshot = ev
+        finish, t, i_batch, epoch, snapshot = ev
         flush_acc()
         dev_acc, extra = finish()
         if state["steps_timed"]:
@@ -293,13 +288,14 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         best-checkpoint decision."""
         nonlocal key
         key, sub = jax.random.split(key)
-        payloads, finish = run_device_dev_eval(
+        # finish() closes over the dispatched device payloads, keeping
+        # them alive until the deferred flush fetches them.
+        _, finish = run_device_dev_eval(
             flags, modules, params, desc_dev, dev_ds, epoch, sub,
             row_placer=put_rows, sync=False)
         snapshot = (snap((params, opt_states))
                     if t >= flags.save_after else (None, None))
-        pending.append(("dev", (payloads, finish, t, i_batch, epoch,
-                                snapshot)))
+        pending.append(("dev", (finish, t, i_batch, epoch, snapshot)))
 
     def flush_events():
         """Flush deferred host-visible events (log windows, dev evals) in
@@ -371,7 +367,11 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             break
         refill(1)
         if plan_buf.shape[0] == 0:
-            break  # epochs exhausted
+            # Epochs exhausted. A dataset smaller than one batch yields
+            # zero steps but the legacy loop still prints every epoch's
+            # Starting banner — keep line-for-line parity.
+            enter_epochs(flags.max_epoch - 1)
+            break
         if is_log(t):
             rows, eps, ibs = consume(1)
             row_np, ev_epoch, ev_batch = rows[0], int(eps[0]), int(ibs[0])

@@ -110,32 +110,36 @@ def _get_evaluator(modules: AgentModules, top_k: int):
 
 def _dev_eval_inputs(flags, modules, desc_pack):
     """Device copies of the dev-eval constants (descriptions, attention
-    word sets, corruption mask). Cached on ``modules`` keyed by the
-    description pack's identity so the periodic dev cadence doesn't pay a
-    fresh host-to-device transfer per call (advisor round-2 #1)."""
+    word sets, corruption mask). Cached on ``modules`` so the periodic
+    dev cadence doesn't pay a fresh host-to-device transfer per call
+    (advisor round-2 #1). The cache holds a strong reference to the pack
+    and validates it with ``is`` — an ``id()`` key would collide if a
+    freed pack's address were reused by a new one."""
     import jax.numpy as jnp
 
     from multimodalgame_tpu.game.masks import build_mask
 
     cfg = modules.cfg
-    cache = getattr(modules, "_dev_eval_input_cache", None)
-    if cache is None:
-        cache = modules._dev_eval_input_cache = {}
-    ck = (id(desc_pack), flags.bit_flip, flags.corrupt_region)
-    if ck not in cache:
-        corrupt = None
-        if flags.bit_flip and flags.corrupt_region:
-            corrupt = jnp.asarray(build_mask(flags.corrupt_region,
-                                             cfg.rec_w_dim))
-        cache.clear()   # one live pack per run; don't pin stale arrays
-        cache[ck] = dict(
-            desc=jnp.asarray(desc_pack.desc),
-            desc_set_padded=(jnp.asarray(desc_pack.desc_set_padded)
-                             if cfg.desc_attn else None),
-            desc_set_mask=(jnp.asarray(desc_pack.desc_set_mask)
-                           if cfg.desc_attn else None),
-            corrupt_mask=corrupt)
-    return cache[ck]
+    ck = (flags.bit_flip, flags.corrupt_region)
+    cached = getattr(modules, "_dev_eval_input_cache", None)
+    if cached is not None:
+        pack, key_, inputs = cached
+        if pack is desc_pack and key_ == ck:
+            return inputs
+    corrupt = None
+    if flags.bit_flip and flags.corrupt_region:
+        corrupt = jnp.asarray(build_mask(flags.corrupt_region,
+                                         cfg.rec_w_dim))
+    inputs = dict(
+        desc=jnp.asarray(desc_pack.desc),
+        desc_set_padded=(jnp.asarray(desc_pack.desc_set_padded)
+                         if cfg.desc_attn else None),
+        desc_set_mask=(jnp.asarray(desc_pack.desc_set_mask)
+                       if cfg.desc_attn else None),
+        corrupt_mask=corrupt)
+    # One live pack per run; replacing the entry drops stale arrays.
+    modules._dev_eval_input_cache = (desc_pack, ck, inputs)
+    return inputs
 
 
 def run_device_dev_eval(flags, modules, params, desc_pack,

@@ -57,6 +57,27 @@ def shard_batch(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P(BATCH_AXIS)))
 
 
+def axis_placer(mesh: Mesh, axis: int = -1):
+    """Placement function sharding ``axis`` over the mesh when its length
+    divides the mesh size, replicating otherwise (ragged tails — e.g. a
+    truncated final dev batch). The shared helper behind the driver's
+    batch-index rows, the serving batch axis, and the dryrun sweeps."""
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        if x is None:
+            return x
+        ndim = np.ndim(x)
+        ax = axis % ndim
+        if np.shape(x)[ax] % mesh.size:
+            return jax.device_put(x, rep)
+        spec = [None] * ndim
+        spec[ax] = BATCH_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return place
+
+
 def make_sharded_train_step(modules: AgentModules, top_k: int,
                             batch_denom: int, mesh: Mesh,
                             fast="auto"):

@@ -55,28 +55,28 @@ class Predictor:
         self._pmask = (jnp.asarray(desc_pack.desc_set_mask)
                        if cfg.desc_attn else None)
         self._mesh = mesh
+        self._placer = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from multimodalgame_tpu.parallel.mesh import BATCH_AXIS
+            from multimodalgame_tpu.parallel.mesh import axis_placer
             rep = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, rep)
             self._desc = jax.device_put(self._desc, rep)
             if self._padded is not None:
                 self._padded = jax.device_put(self._padded, rep)
                 self._pmask = jax.device_put(self._pmask, rep)
-            self._rep = rep
-            self._row = NamedSharding(mesh, P(BATCH_AXIS))
+            # Request batches shard on their leading axis; ragged batches
+            # replicate (parallel/mesh.py shared helper).
+            self._placer = axis_placer(mesh, axis=0)
         self._modules = AgentModules(cfg)
         self._exchange = make_eval_exchange(self._modules,
                                             use_pallas=use_pallas)
         self._select = jax.jit(self._select_fn)
 
     def _place(self, x):
-        if x is None or self._mesh is None:
+        if x is None or self._placer is None:
             return x
-        return jax.device_put(
-            x, self._row if x.shape[0] % self._mesh.size == 0
-            else self._rep)
+        return self._placer(x)
 
     @staticmethod
     def _select_fn(y, stop_masks):

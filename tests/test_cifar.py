@@ -178,6 +178,26 @@ def test_cifar_staged_pipeline_matches_streaming_loader(cifar_root,
         np.testing.assert_array_equal(flat, b["avgpool_512"])
 
 
+def test_cifar_staged_plan_ignores_shuffle_flag(cifar_root, monkeypatch):
+    """-noshuffle_train must not change CIFAR data order: the streaming
+    loader (and the reference's CIFAR DataLoader, model.py:1195-1206)
+    always shuffles, so the staged plan does too. And truncation is
+    undefined for CIFAR (the streaming loader drops the tail) — asking
+    for it fails loudly instead of silently dropping examples."""
+    from multimodalgame_tpu.data.device_dataset import DeviceDataset
+
+    monkeypatch.chdir(cifar_root)
+    ds = DeviceDataset.from_cifar(image_size=32)
+    on = ds.epoch_indices(epoch=1, shuffle=True, batch_size=8)
+    off = ds.epoch_indices(epoch=1, shuffle=False, batch_size=8)
+    np.testing.assert_array_equal(on, off)
+    perm = np.random.RandomState(11 + 1).permutation(ds.size)[:40]
+    np.testing.assert_array_equal(on.reshape(-1), perm)
+    with pytest.raises(ValueError, match="truncate_final_batch"):
+        ds.epoch_indices(epoch=1, shuffle=True, batch_size=8,
+                         truncate_final_batch=True)
+
+
 def test_cifar_fast_driver_matches_legacy_artifacts(cifar_root, tmp_path,
                                                     synthetic_dataset,
                                                     monkeypatch):

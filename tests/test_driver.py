@@ -271,6 +271,29 @@ def test_fast_driver_log_artifacts_match_legacy(synthetic_dataset,
         assert os.path.exists(f.conf_mat)
 
 
+def test_fast_driver_small_dataset_banner_parity(synthetic_dataset,
+                                                  tmp_path):
+    """A dataset smaller than one batch yields zero training steps, but
+    the legacy loop still prints every epoch's Starting banner — the
+    chunked driver must match line-for-line."""
+    from multimodalgame_tpu.train import run
+
+    paths = synthetic_dataset
+    f_fast = _flags(paths, tmp_path, "tinyf", extra=["-batch_size", "64"])
+    f_slow = _flags(paths, tmp_path, "tinys",
+                    extra=["-batch_size", "64", "-nofast_driver"])
+    run(f_fast)
+    run(f_slow)
+
+    def banners(path):
+        return [ln.split(": ", 1)[-1]
+                for ln in open(path).read().splitlines()
+                if "Starting epoch" in ln]
+
+    assert banners(f_fast.log_file) == banners(f_slow.log_file)
+    assert len(banners(f_fast.log_file)) == 2
+
+
 def test_fast_driver_resume(synthetic_dataset, tmp_path):
     from multimodalgame_tpu.train import run
 
