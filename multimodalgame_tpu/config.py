@@ -213,11 +213,158 @@ def _registry() -> Dict[str, FlagDef]:
     define("bit_flip", "boolean", False)
     define("corrupt_region", "string", None)
 
+    for name, text in _HELP.items():
+        defs[name].help = text
     return defs
+
+
+# One-line descriptions shown by ``--help`` (the reference's gflags
+# surface printed per-flag help; text here is this framework's own).
+_HELP = {
+    "branch": "Git branch recorded in the flag dump for provenance.",
+    "sha": "Git commit recorded in the flag dump for provenance.",
+    "debug": "Arm debug checks: NaN detection inside compiled programs "
+             "and numpy floating-point errors raised as exceptions.",
+    "save_after": "First step at which checkpoints (periodic and _best) "
+                  "may be written.",
+    "save_interval": "Write the periodic checkpoint every this many steps.",
+    "checkpoint": "Checkpoint path; training auto-resumes when the file "
+                  "exists. Default derived from log_path/experiment_name.",
+    "conf_mat": "Confusion-matrix CSV path written by dev evaluation.",
+    "log_path": "Directory for the log file and derived artifact paths.",
+    "log_file": "Training log file; default <log_path>/<experiment_name>.log.",
+    "eval_csv_file": "CSV written by -eval_only with the dev accuracy.",
+    "json_file": "Path of the flag-dump JSON written at startup.",
+    "log_load": "Load flag values from a previous run's JSON dump "
+                "(explicit CLI flags still override).",
+    "eval_only": "Evaluate the checkpoint on the dev set, write the eval "
+                 "CSV, and exit.",
+    "binary_only": "Extract exchanged binary messages to binary_output "
+                   "and exit.",
+    "binary_output": "bv.hdf5 output path for -binary_only.",
+    "cuda": "Accepted for reference CLI compatibility; device placement "
+            "is owned by JAX/XLA here.",
+    "fast_driver": "Chunked device-side training driver: dataset staged "
+                   "in HBM, whole log windows compiled as one program. "
+                   "-nofast_driver selects the per-batch host loop.",
+    "random_seed": "Master PRNG seed for parameter init and sampling "
+                   "streams.",
+    "compute_dtype": "Conversation compute precision; bfloat16 keeps f32 "
+                     "parameters, optimizer state, and loss algebra.",
+    "mesh": "Data-parallel mesh size for training/serving (0 or 1 = "
+            "single device, -1 = all visible devices). batch_size and "
+            "batch_size_dev must be divisible by it.",
+    "population": "Member count for the population sweep driver "
+                  "(python -m multimodalgame_tpu.sweep).",
+    "lr_scales": "Comma-separated per-member learning-rate multipliers "
+                 "for the population sweep (cycled to the member count).",
+    "env": "Visdom environment name.",
+    "visdom": "Enable live Visdom plotting.",
+    "use_alpha": "Dump messages as letter groups instead of 0/1 strings.",
+    "experiment_name": "Run name; stems every derived artifact path.",
+    "log_interval": "Steps between interval log windows.",
+    "log_dev": "Steps between dev evaluations.",
+    "wv_type": "Word-vector source for class descriptions: a GloVe file, "
+               "random fake vectors, or none (rejected — dead in the "
+               "reference).",
+    "wv_dim": "Word-vector dimensionality.",
+    "descr_train": "Class-description CSV (label_id,label,description) "
+                   "for training.",
+    "descr_dev": "Class-description CSV for dev evaluation.",
+    "train_file": "HDF5 feature file for training.",
+    "dev_file": "HDF5 feature file for dev evaluation.",
+    "images": "Image source: packaged mammal features or raw CIFAR-10 "
+              "test-split pixels.",
+    "glove_path": "GloVe text file scanned when wv_type=glove.6B.",
+    "shuffle_train": "Shuffle training batches each epoch (seed "
+                     "11+epoch). Ignored for CIFAR, which always "
+                     "shuffles.",
+    "shuffle_dev": "Shuffle dev batches.",
+    "model_type": "Preset configuration; overrides the preset-owned "
+                  "model/conversation flags.",
+    "img_feat": "Which packaged feature set feeds the sender.",
+    "data_context": "Feature set concatenated as extra attention context "
+                    "(attn_extra_context).",
+    "sender_mix": "How the sender mixes its image and message "
+                  "projections.",
+    "img_feat_dim": "Dimensionality of the selected image features.",
+    "img_h_dim": "Sender hidden size.",
+    "baseline_hid_dim": "Hidden size of the two value-baseline MLPs.",
+    "sender_out_dim": "Sender message width in bits (must equal "
+                      "rec_w_dim).",
+    "rec_hidden": "Receiver GRU hidden size.",
+    "rec_out_dim": "Per-class prediction head output width.",
+    "rec_w_dim": "Receiver query width in bits (must equal "
+                 "sender_out_dim).",
+    "rec_s_dim": "STOP-bit head width.",
+    "use_binary": "Sampled binary channel trained with REINFORCE; false "
+                  "= continuous messages, classification loss only.",
+    "ignore_receiver": "Zero the receiver's query each turn.",
+    "ignore_code": "Sender ignores the incoming query and reads only the "
+                   "image.",
+    "block_y": "Accepted for flag-surface parity; unused (the "
+               "reference's softmax detach is unconditional).",
+    "first_rec": "Fill value of the receiver's initial query message.",
+    "flipout_rec": "Training-time bit-flip probability on receiver "
+                   "messages.",
+    "flipout_sen": "Training-time bit-flip probability on sender "
+                   "messages.",
+    "flipout_dev": "Apply flipout corruption at dev evaluation too.",
+    "s_prob_prod": "Eval-mode STOP decision uses the cumulative product "
+                   "of per-turn stop probabilities.",
+    "visual_attn": "Sender attends over the 8x8 layer4_2 feature map.",
+    "attn_dim": "Visual-attention scoring dimensionality.",
+    "attn_extra_context": "Concatenate the data_context features into "
+                          "attention scoring.",
+    "attn_context_dim": "Dimensionality of the attention context "
+                        "features.",
+    "desc_attn": "Receiver attends over description words instead of "
+                 "using CBOW means.",
+    "desc_attn_dim": "Description-attention scoring dimensionality.",
+    "top_k_dev": "k for top-k dev accuracy.",
+    "top_k_train": "k for top-k training accuracy.",
+    "optim_type": "Optimizer applied to all four agents.",
+    "batch_size": "Training batch size.",
+    "batch_size_dev": "Dev-evaluation batch size.",
+    "learning_rate": "Learning rate for all four optimizers.",
+    "max_epoch": "Number of training epochs.",
+    "entropy_s": "Entropy-bonus weight on the STOP head (presets set "
+                 "this).",
+    "entropy_sen": "Entropy-bonus weight on sender messages.",
+    "entropy_rec": "Entropy-bonus weight on receiver messages.",
+    "exchange_samples": "Example conversations dumped per log window.",
+    "max_exchange": "Maximum exchange steps per conversation.",
+    "fixed_exchange": "Always run max_exchange steps (no adaptive STOP).",
+    "bit_flip": "Flip the corrupt_region sender-message bits at eval.",
+    "corrupt_region": "Bit-region spec like '0:3,5' for eval-time "
+                      "corruption.",
+}
 
 
 def make_flags() -> Flags:
     return Flags(_registry())
+
+
+def format_help(flags: Flags) -> str:
+    """The ``--help`` listing: every flag with its help text, type, and
+    default (the reference's gflags surface printed the same shape)."""
+    out = [
+        "usage: python -m multimodalgame_tpu [flags]",
+        "",
+        "Flag syntaxes (gflags-compatible): -flag value, --flag=value,",
+        "-boolflag, -noboolflag.",
+        "",
+    ]
+    for d in sorted(flags._defs.values(), key=lambda d: d.name):
+        head = (f"  --[no]{d.name}" if d.type == "boolean"
+                else f"  --{d.name}")
+        if d.type == "enum" and d.choices:
+            head += " <" + "|".join(d.choices) + ">"
+        out.append(head)
+        if d.help:
+            out.append(f"      {d.help}")
+        out.append(f"      ({d.type}; default: {d.default!r})")
+    return "\n".join(out)
 
 
 def parse_args(flags: Flags, argv: Sequence[str]) -> None:
@@ -230,6 +377,9 @@ def parse_args(flags: Flags, argv: Sequence[str]) -> None:
     args = list(argv)
     while i < len(args):
         tok = args[i]
+        if tok in ("-h", "-help", "--help", "-helpfull", "--helpfull"):
+            print(format_help(flags))
+            raise SystemExit(0)
         if not tok.startswith("-"):
             raise FlagError(f"unexpected positional argument: {tok!r}")
         name = tok.lstrip("-")

@@ -155,3 +155,16 @@ def test_errors():
     for bad in (["-nope", "1"], ["-max_exchange"], ["-images", "zzz"]):
         with pytest.raises(FlagError):
             parse_args(make_flags(), bad)
+
+
+def test_help_lists_every_flag(capsys):
+    """-h/--help print a listing covering the full flag surface and exit
+    cleanly (the reference's gflags help surface)."""
+    f = make_flags()
+    with pytest.raises(SystemExit) as e:
+        parse_args(f, ["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    for name, d in f._defs.items():
+        assert f"--[no]{name}" in out or f"--{name}" in out
+        assert d.help, f"flag {name} has no help text"
