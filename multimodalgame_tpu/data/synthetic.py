@@ -45,13 +45,40 @@ def write_descriptions_csv(path: str, num_classes: int,
                 label_ids[i], "class%d" % i, " ".join(words)))
 
 
-def write_fake_glove(path: str, wv_dim: int = 100, seed: int = 1) -> None:
-    """Write a GloVe-format text file covering the synthetic vocabulary."""
+def write_fake_glove(path: str, wv_dim: int = 100, seed: int = 1,
+                     extra_vocab: int = 0) -> None:
+    """Write a GloVe-format text file covering the synthetic vocabulary.
+
+    ``extra_vocab`` pads the file with that many filler entries so the
+    single-pass scan in ``embed()`` (reference misc.py:305-320) can be
+    exercised at the real ``glove.6B`` file's vocabulary scale (~400k
+    lines) rather than toy size. The game words are interleaved
+    throughout (every ~1000 lines) so a scan that stopped early would be
+    caught."""
     rng = np.random.RandomState(seed)
+
+    def line(word):
+        return word + " " + " ".join(
+            "%.5f" % v for v in rng.randn(wv_dim)) + "\n"
+
+    stride = max(1, (extra_vocab + len(_WORDS)) // max(1, len(_WORDS)))
+    words = iter(_WORDS)
     with open(path, "w") as f:
-        for w in _WORDS:
-            vec = rng.randn(wv_dim)
-            f.write(w + " " + " ".join("%.5f" % v for v in vec) + "\n")
+        if not extra_vocab:
+            for w in _WORDS:
+                f.write(line(w))
+            return
+        written = 0
+        for i in range(extra_vocab + len(_WORDS)):
+            if i % stride == 0:
+                w = next(words, None)
+                if w is not None:
+                    f.write(line(w))
+                    written += 1
+                    continue
+            f.write(line("pad%07d" % i))
+        for w in words:   # stride rounding left any game words unwritten
+            f.write(line(w))
 
 
 def write_feature_hdf5(path: str, num_examples: int, num_classes: int,
@@ -117,9 +144,11 @@ def write_feature_hdf5(path: str, num_examples: int, num_classes: int,
 
 def build_synthetic_dataset(root: str, num_classes: int = 10,
                             train_per_class: int = 8, dev_per_class: int = 4,
-                            wv_dim: int = 100, seed: int = 0) -> dict:
+                            wv_dim: int = 100, seed: int = 0,
+                            glove_extra_vocab: int = 0) -> dict:
     """Create a full synthetic dataset directory: train/dev HDF5 + CSV +
-    fake GloVe. Returns the file paths."""
+    fake GloVe (optionally padded to ``glove_extra_vocab`` filler
+    entries — real-file scale). Returns the file paths."""
     os.makedirs(root, exist_ok=True)
     paths = {
         "descr": os.path.join(root, "descriptions.csv"),
@@ -128,7 +157,8 @@ def build_synthetic_dataset(root: str, num_classes: int = 10,
         "dev": os.path.join(root, "dev.hdf5"),
     }
     write_descriptions_csv(paths["descr"], num_classes, seed=seed)
-    write_fake_glove(paths["glove"], wv_dim=wv_dim, seed=seed + 1)
+    write_fake_glove(paths["glove"], wv_dim=wv_dim, seed=seed + 1,
+                     extra_vocab=glove_extra_vocab)
     write_feature_hdf5(paths["train"], num_classes * train_per_class,
                        num_classes, seed=seed + 2, single_class_blocks=True)
     write_feature_hdf5(paths["dev"], num_classes * dev_per_class,

@@ -156,3 +156,25 @@ def test_embed_scan_at_realistic_glove_scale(tmp_path):
     # The scan is one sequential pass over 50k lines; anything beyond
     # this bound indicates a quadratic regression, not machine noise.
     assert elapsed < 30.0, f"GloVe scan took {elapsed:.1f}s"
+
+
+def test_fake_glove_vocab_padding(tmp_path):
+    """write_fake_glove(extra_vocab=N) pads to realistic file scale with
+    the game words interleaved throughout (a scan that stopped early
+    would miss some); the pack still embeds every class."""
+    from multimodalgame_tpu.data.synthetic import (_WORDS,
+                                                   build_synthetic_dataset)
+
+    paths = build_synthetic_dataset(str(tmp_path), num_classes=6,
+                                    train_per_class=1, dev_per_class=1,
+                                    wv_dim=16, glove_extra_vocab=5000)
+    lines = open(paths["glove"]).read().splitlines()
+    assert len(lines) >= 5000 + len(_WORDS)
+    pos = {ln.split(" ", 1)[0]: i for i, ln in enumerate(lines)}
+    game_pos = sorted(pos[w] for w in _WORDS)
+    assert game_pos[-1] > 4000  # spread through the tail, not clustered
+
+    pack = load_descriptions(paths["descr"], "glove.6B", 16,
+                             glove_path=paths["glove"])
+    assert pack.desc.shape == (6, 16)
+    assert np.abs(pack.desc).sum() > 0

@@ -9,11 +9,14 @@ WORK="${1:-/tmp/mmgame_demo}"
 mkdir -p "$WORK/logs"
 cd "$WORK"
 
+# glove_extra_vocab pads the GloVe file to the real glove.6B's ~400k-line
+# vocabulary scale, so the demo's embed() scan runs at full size.
 python -c "
 import sys; sys.path.insert(0, '$REPO')
 from multimodalgame_tpu.data.synthetic import build_synthetic_dataset
 print(build_synthetic_dataset('.', num_classes=30, train_per_class=100,
-                              dev_per_class=20, wv_dim=100))"
+                              dev_per_class=20, wv_dim=100,
+                              glove_extra_vocab=400_000))"
 
 PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" python -m multimodalgame_tpu \
   -experiment_name demo -model_type Adaptive \
