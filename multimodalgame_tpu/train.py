@@ -205,13 +205,15 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
 
     uses_fast_driver = flags.fast_driver and not (
         flags.images == "cifar" and flags.attn_extra_context)
+    uses_device_eval = (flags.fast_driver and flags.images == "mammal"
+                        and os.environ.get("MMG_USE_PALLAS_EVAL") != "1")
     if int(getattr(flags, "mesh", 0) or 0) not in (0, 1) and not (
-            uses_fast_driver and not flags.eval_only
+            (uses_fast_driver or (flags.eval_only and uses_device_eval))
             and not flags.binary_only):
         raise ValueError(
             "-mesh data parallelism is implemented for the chunked "
-            "training driver (-fast_driver); drop -mesh or use the "
-            "fast driver")
+            "training driver (-fast_driver) and the device-sweep "
+            "-eval_only path; drop -mesh or use the fast driver")
 
     # Descriptions (model.py:1066-1108). ``fake`` keeps the CSV structure
     # but substitutes deterministic random word vectors.
@@ -263,15 +265,30 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
             # opt-in (the fused kernel runs through eval.py's
             # eval_exchange, which the device sweep doesn't use).
             from multimodalgame_tpu.data.device_dataset import DeviceDataset
+            from multimodalgame_tpu.game.driver import resolve_mesh
             from multimodalgame_tpu.game.fast_eval import run_device_dev_eval
             ctx_key = (flags.data_context if flags.attn_extra_context
                        else None)
             dev_ds = DeviceDataset.from_hdf5(
                 flags.dev_file, flags.img_feat,
                 map_labels=desc_dev.map_labels, context_key=ctx_key)
+            row_placer = None
+            mesh = resolve_mesh(flags)
+            if mesh is not None:
+                # Sharded eval: params/dataset replicated, batch-index
+                # rows sharded — the training driver's -mesh recipe on
+                # the dev sweep alone.
+                from multimodalgame_tpu.parallel.mesh import (axis_placer,
+                                                              replicate)
+                flogger.Log("Data-parallel mesh: {} devices ({})".format(
+                    mesh.size, jax.devices()[0].platform))
+                params = replicate(params, mesh)
+                dev_ds.place(jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()))
+                row_placer = axis_placer(mesh, axis=-1)
             dev_acc, extra = run_device_dev_eval(
                 flags, modules, params, desc_dev, dev_ds, epoch,
-                jax.random.PRNGKey(0))
+                jax.random.PRNGKey(0), row_placer=row_placer)
         else:
             dev_acc, extra = eval_dev(
                 flags, modules, params, eval_exchange, flags.dev_file,

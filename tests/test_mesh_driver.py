@@ -254,3 +254,37 @@ def test_mesh_cifar_fast_driver(tmp_path, synthetic_dataset, monkeypatch):
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5, err_msg=label)
+
+
+def test_mesh_eval_only_matches_single_device(synthetic_dataset, tmp_path):
+    """-eval_only under -mesh runs the device dev sweep sharded and
+    returns the same statistics (and eval CSV) as single-device; the
+    host-loop eval (-nofast_driver) still rejects -mesh loudly."""
+    from multimodalgame_tpu.train import run
+
+    paths = synthetic_dataset
+    f_train = _flags(paths, tmp_path, "mevt",
+                     extra=["-save_after", "0", "-save_interval", "2"])
+    run(f_train, max_steps=3)
+    assert os.path.exists(f_train.checkpoint)
+
+    f_single = _flags(paths, tmp_path, "mevt",
+                      extra=["-eval_only", "-checkpoint",
+                             f_train.checkpoint])
+    out_single = run(f_single)
+    f_mesh = _flags(paths, tmp_path, "mevt",
+                    extra=["-eval_only", "-mesh", "8", "-checkpoint",
+                           f_train.checkpoint])
+    out_mesh = run(f_mesh)
+    assert out_mesh["dev_acc"] == pytest.approx(out_single["dev_acc"],
+                                                rel=1e-6)
+    for k in ("conversation_lengths_mean", "hamming_rec_mean",
+              "hamming_sen_mean"):
+        assert out_mesh["extra"][k] == pytest.approx(
+            out_single["extra"][k], rel=1e-5)
+
+    f_host = _flags(paths, tmp_path, "mevth",
+                    extra=["-eval_only", "-mesh", "8", "-nofast_driver",
+                           "-checkpoint", f_train.checkpoint])
+    with pytest.raises(ValueError, match="mesh"):
+        run(f_host)
