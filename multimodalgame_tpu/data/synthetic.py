@@ -52,9 +52,9 @@ def write_fake_glove(path: str, wv_dim: int = 100, seed: int = 1,
     ``extra_vocab`` pads the file with that many filler entries so the
     single-pass scan in ``embed()`` (reference misc.py:305-320) can be
     exercised at the real ``glove.6B`` file's vocabulary scale (~400k
-    lines) rather than toy size. The game words are interleaved
-    throughout (every ~1000 lines) so a scan that stopped early would be
-    caught."""
+    lines) rather than toy size. The game words are spread evenly
+    through the whole file (one every ``total/len(_WORDS)`` lines) so a
+    scan that stopped early would be caught."""
     rng = np.random.RandomState(seed)
 
     def line(word):
@@ -68,13 +68,11 @@ def write_fake_glove(path: str, wv_dim: int = 100, seed: int = 1,
             for w in _WORDS:
                 f.write(line(w))
             return
-        written = 0
         for i in range(extra_vocab + len(_WORDS)):
             if i % stride == 0:
                 w = next(words, None)
                 if w is not None:
                     f.write(line(w))
-                    written += 1
                     continue
             f.write(line("pad%07d" % i))
         for w in words:   # stride rounding left any game words unwritten

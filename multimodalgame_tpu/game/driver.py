@@ -60,17 +60,19 @@ def decompose_chunks(k: int) -> list:
     return out
 
 
-def resolve_mesh(flags):
+def resolve_mesh(flags, batch_fields=("batch_size", "batch_size_dev")):
     """Build the data-parallel mesh requested by ``-mesh`` (0/1 = off,
-    N > 1 = first N devices, -1 = all devices), validating batch
-    divisibility. Returns a ``jax.sharding.Mesh`` or ``None``."""
+    N > 1 = first N devices, -1 = all devices), validating divisibility
+    of the ``batch_fields`` the caller actually shards (eval-only runs
+    pass just ``batch_size_dev``). Returns a ``jax.sharding.Mesh`` or
+    ``None``."""
     n = int(getattr(flags, "mesh", 0) or 0)
     if n == -1:
         n = len(jax.devices())
     if n <= 1:
         return None
     from multimodalgame_tpu.parallel.mesh import make_mesh
-    for fname in ("batch_size", "batch_size_dev"):
+    for fname in batch_fields:
         b = getattr(flags, fname)
         if b % n:
             raise ValueError(

@@ -208,8 +208,9 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     uses_device_eval = (flags.fast_driver and flags.images == "mammal"
                         and os.environ.get("MMG_USE_PALLAS_EVAL") != "1")
     if int(getattr(flags, "mesh", 0) or 0) not in (0, 1) and not (
-            (uses_fast_driver or (flags.eval_only and uses_device_eval))
-            and not flags.binary_only):
+            (uses_fast_driver and not flags.eval_only
+             and not flags.binary_only)
+            or (flags.eval_only and uses_device_eval)):
         raise ValueError(
             "-mesh data parallelism is implemented for the chunked "
             "training driver (-fast_driver) and the device-sweep "
@@ -255,9 +256,7 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     if flags.eval_only:
         if not os.path.exists(flags.checkpoint):
             raise Exception("Must provide valid checkpoint.")
-        use_pallas_eval = os.environ.get("MMG_USE_PALLAS_EVAL") == "1"
-        if (flags.fast_driver and flags.images == "mammal"
-                and not use_pallas_eval):
+        if uses_device_eval:
             # One-program device sweep (game/fast_eval.py) — same
             # statistics as the host loop (pinned by test_driver.py),
             # two transfers instead of ~8 per batch. -nofast_driver
@@ -273,7 +272,9 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                 flags.dev_file, flags.img_feat,
                 map_labels=desc_dev.map_labels, context_key=ctx_key)
             row_placer = None
-            mesh = resolve_mesh(flags)
+            # Only the dev batch shards here; the training batch_size is
+            # irrelevant to an eval-only run.
+            mesh = resolve_mesh(flags, batch_fields=("batch_size_dev",))
             if mesh is not None:
                 # Sharded eval: params/dataset replicated, batch-index
                 # rows sharded — the training driver's -mesh recipe on

@@ -288,3 +288,23 @@ def test_mesh_eval_only_matches_single_device(synthetic_dataset, tmp_path):
                            "-checkpoint", f_train.checkpoint])
     with pytest.raises(ValueError, match="mesh"):
         run(f_host)
+    # Eval configs that fall to the host loop despite -fast_driver (the
+    # Pallas opt-in routes through eval.py) must also reject -mesh
+    # rather than silently ignore it.
+    f_pallas = _flags(paths, tmp_path, "mevtp",
+                      extra=["-eval_only", "-mesh", "8", "-checkpoint",
+                             f_train.checkpoint])
+    os.environ["MMG_USE_PALLAS_EVAL"] = "1"
+    try:
+        with pytest.raises(ValueError, match="mesh"):
+            run(f_pallas)
+    finally:
+        del os.environ["MMG_USE_PALLAS_EVAL"]
+    # Only the dev batch must divide the mesh on the eval path: an
+    # eval-only run with an indivisible *training* batch size is fine.
+    f_odd = _flags(paths, tmp_path, "mevto",
+                   extra=["-eval_only", "-mesh", "8", "-batch_size", "9",
+                          "-checkpoint", f_train.checkpoint])
+    out_odd = run(f_odd)
+    assert out_odd["dev_acc"] == pytest.approx(out_single["dev_acc"],
+                                               rel=1e-6)
