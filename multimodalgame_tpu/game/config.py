@@ -66,6 +66,17 @@ class GameConfig:
     # recipe for large-batch configs. No reference counterpart.
     compute_dtype: str = "float32"
 
+    def __post_init__(self):
+        # The reference's hard invariant (model.py:1756-1757): the
+        # sender's message and the receiver's query share the channel
+        # width. finalize_flags enforces it on the CLI; enforcing it
+        # here covers direct-API construction too (the channel and its
+        # corruption mask are sized by rec_w_dim but applied to
+        # sender-width messages).
+        assert self.sender_out_dim == self.rec_w_dim, (
+            f"sender_out_dim ({self.sender_out_dim}) must equal "
+            f"rec_w_dim ({self.rec_w_dim})")
+
     @classmethod
     def from_flags(cls, flags) -> "GameConfig":
         names = {f.name for f in dataclasses.fields(cls)}

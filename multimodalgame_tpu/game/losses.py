@@ -195,7 +195,10 @@ def topk_accuracy(dist: jnp.ndarray, target: jnp.ndarray, k: int,
     for truncated final eval batches (model.py:667).
 
     Uses ``lax.top_k`` (a k-selection) rather than the reference's full
-    argsort — same membership semantics, far cheaper on TPU."""
-    _, top_k_ind = jax.lax.top_k(dist, k)
+    argsort — same membership semantics, far cheaper on TPU. ``k`` is
+    clamped to the class count like the reference's argsort slice
+    (``[:, -k:]`` on fewer than k columns keeps them all); ``lax.top_k``
+    would otherwise reject k > D at trace time."""
+    _, top_k_ind = jax.lax.top_k(dist, min(k, dist.shape[-1]))
     hits = jnp.sum(top_k_ind == target.reshape(-1, 1))
     return hits / denom

@@ -162,3 +162,22 @@ def test_topk_accuracy_denominator_quirk():
     # batch size (4), not the actual rows (2) — model.py:667.
     np.testing.assert_allclose(float(topk_accuracy(dist, t, 1, 4)), 0.25)
     np.testing.assert_allclose(float(topk_accuracy(dist, t, 2, 2)), 0.5)
+
+
+def test_topk_accuracy_clamps_k_to_class_count():
+    """k > num classes behaves like the reference's argsort slice
+    (model.py:1332-1338): all classes count as top-k, so every target
+    hits — instead of lax.top_k's trace-time rejection."""
+    dist = jnp.asarray(np.random.RandomState(0).randn(5, 3))
+    target = jnp.asarray([0, 1, 2, 0, 1])
+    acc = topk_accuracy(dist, target, k=6, denom=5)
+    assert float(acc) == 1.0
+
+
+def test_game_config_channel_width_invariant():
+    """sender_out_dim == rec_w_dim (reference model.py:1756-1757) is
+    enforced at GameConfig construction, not just in the CLI."""
+    from multimodalgame_tpu.game.config import GameConfig
+
+    with pytest.raises(AssertionError, match="rec_w_dim"):
+        GameConfig(sender_out_dim=64, rec_w_dim=50)
