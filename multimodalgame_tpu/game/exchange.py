@@ -70,6 +70,30 @@ class _Step(NamedTuple):
     attn: Optional[jnp.ndarray]
 
 
+
+def finalize_stop_masks(masks, fixed_exchange: bool):
+    """Assemble the ``(T+1, B, 1)`` stop-mask chain and the reference's
+    break-early step count from per-step cumulative masks ``(T, B, 1)``.
+
+    Prepends the all-ones step-0 mask and forces the final mask to zero
+    (model.py:870) so every example's y-mask selects a step. ``n_steps``
+    is the number of steps the reference's Python loop would execute:
+    step 0 always runs; step t+1 runs iff anyone is still active after t
+    (model.py:866-867). Shared by the scan engine here and both fused
+    Pallas paths (game/train.py, game/fast_train.py) so the convention
+    cannot drift between them.
+    """
+    T, batch = masks.shape[0], masks.shape[1]
+    stop_masks = jnp.concatenate(
+        [jnp.ones((1, batch, 1), masks.dtype), masks], axis=0)
+    stop_masks = stop_masks.at[-1].set(0.0)
+    if fixed_exchange:
+        n_steps = jnp.asarray(T, jnp.int32)
+    else:
+        alive = jnp.sum(masks, axis=(1, 2)) > 0  # (T,)
+        n_steps = 1 + jnp.sum(alive[:-1].astype(jnp.int32))
+    return stop_masks, n_steps
+
 def exchange(modules: AgentModules, params: Dict[str, Any],
              data: jnp.ndarray, desc: jnp.ndarray, key: jax.Array,
              train: bool,
@@ -232,19 +256,8 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
     init = (h0, w0, mask0, sprod0)
     _, outs = jax.lax.scan(body, init, (uniforms, jnp.arange(T)))
 
-    stop_masks = jnp.concatenate(
-        [jnp.ones((1, batch, 1), fdtype), outs.new_mask], axis=0)
-    # The final mask must always be zero (model.py:870) so every example's
-    # y-mask selects a step.
-    stop_masks = stop_masks.at[-1].set(0.0)
-
-    if cfg.fixed_exchange:
-        n_steps = jnp.asarray(T, jnp.int32)
-    else:
-        # Steps the reference would execute before break_early: step 0
-        # always runs; step t+1 runs iff anyone is still active after t.
-        alive = jnp.sum(outs.new_mask, axis=(1, 2)) > 0  # (T,)
-        n_steps = 1 + jnp.sum(alive[:-1].astype(jnp.int32))
+    stop_masks, n_steps = finalize_stop_masks(outs.new_mask,
+                                              cfg.fixed_exchange)
 
     return ExchangeOutputs(
         stop_masks=stop_masks,

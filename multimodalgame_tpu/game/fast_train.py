@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from multimodalgame_tpu.game.agents import AgentModules
 from multimodalgame_tpu.game.config import GameConfig
-from multimodalgame_tpu.game.exchange import ExchangeOutputs, exchange
+from multimodalgame_tpu.game.exchange import (ExchangeOutputs, exchange,
+                                              finalize_stop_masks)
 from multimodalgame_tpu.game.train import TrainMetrics, losses_from_exchange
 
 stop_grad = jax.lax.stop_gradient
@@ -58,14 +59,7 @@ def _phase_a_pallas(modules: AgentModules, params, data, desc, key):
     seed = jax.random.randint(key, (), 0, jnp.int32(2 ** 31 - 1))
     f = fused_train_forward(cfg, jax.tree_util.tree_map(stop_grad, params),
                             data, desc, seed)
-    stop_masks = jnp.concatenate(
-        [jnp.ones((1, batch, 1), jnp.float32), f.masks], axis=0)
-    stop_masks = stop_masks.at[-1].set(0.0)
-    if cfg.fixed_exchange:
-        n_steps = jnp.asarray(cfg.max_exchange, jnp.int32)
-    else:
-        alive = jnp.sum(f.masks, axis=(1, 2)) > 0
-        n_steps = 1 + jnp.sum(alive[:-1].astype(jnp.int32))
+    stop_masks, n_steps = finalize_stop_masks(f.masks, cfg.fixed_exchange)
     return ExchangeOutputs(
         stop_masks=stop_masks, stop_feats=f.stop_feats,
         stop_probs=f.stop_probs, sen_feats=f.sen_feats,

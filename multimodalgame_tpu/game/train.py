@@ -26,7 +26,8 @@ import optax
 
 from multimodalgame_tpu.game.agents import AgentModules
 from multimodalgame_tpu.game.config import GameConfig
-from multimodalgame_tpu.game.exchange import ExchangeOutputs, exchange
+from multimodalgame_tpu.game.exchange import (ExchangeOutputs, exchange,
+                                              finalize_stop_masks)
 from multimodalgame_tpu.game.losses import (get_rec_outp, loglikelihood,
                                             multistep_loss_bas,
                                             multistep_loss_binary, nll_loss,
@@ -237,15 +238,11 @@ def make_train_step(modules: AgentModules, top_k: int, batch_denom: int,
                 desc_set_mask, data_context, top_k, batch_denom),
             has_aux=True)(params)
 
-        new_params = dict(params)
-        new_opts = dict(opt_states)
         # With a continuous channel only the receiver trains; the reference
         # skips the other three optimizer steps entirely (model.py:1313-1330).
         update_names = AGENT_NAMES if cfg.use_binary else ("receiver",)
-        for name in update_names:
-            updates, new_opts[name] = tx.update(
-                grads[name], opt_states[name], params[name])
-            new_params[name] = optax.apply_updates(params[name], updates)
+        new_params, new_opts = apply_agent_updates(
+            tx, update_names, grads, params, opt_states)
         return new_params, new_opts, metrics
 
     return step
@@ -290,6 +287,21 @@ def _opt_state_codec(state, params):
             for leaf, u, m in zip(ls, unravels, matched)])
 
     return to_flat, from_flat
+
+
+
+def apply_agent_updates(tx, update_names, grads, params, opt_states):
+    """One optimizer step per trained agent: the reference's four separate
+    clip(1.0)/step calls (model.py:1307-1330) as per-agent optax chains.
+    Shared by every trainer factory so the update rule cannot drift
+    between the single-step, multistep, and indexed paths."""
+    new_params = dict(params)
+    new_opts = dict(opt_states)
+    for name in update_names:
+        updates, new_opts[name] = tx.update(
+            grads[name], opt_states[name], params[name])
+        new_params[name] = optax.apply_updates(params[name], updates)
+    return new_params, new_opts
 
 
 def _flat_carry(params, opt_states, update_names):
@@ -383,12 +395,8 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
                                   desc_set_padded, desc_set_mask, b_ctx,
                                   top_k, batch_denom),
                 has_aux=True)(params)
-            new_params = dict(params)
-            new_opts = dict(opt_states)
-            for name in update_names:
-                updates, new_opts[name] = tx.update(
-                    grads[name], opt_states[name], params[name])
-                new_params[name] = optax.apply_updates(params[name], updates)
+            new_params, new_opts = apply_agent_updates(
+                tx, update_names, grads, params, opt_states)
             out = ScanMetrics(m.loss_rec, m.loss_sen, m.nll_loss,
                               m.loss_bas_rec, m.loss_bas_sen, m.accuracy)
             return (new_params, new_opts), out
@@ -434,12 +442,8 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
             lambda p: loss_fn(p, data, target, desc, key, desc_set_padded,
                               desc_set_mask, ctx, top_k, batch_denom),
             has_aux=True)(params)
-        new_params = dict(params)
-        new_opts = dict(opt_states)
-        for name in update_names:
-            updates, new_opts[name] = tx.update(
-                grads[name], opt_states[name], params[name])
-            new_params[name] = optax.apply_updates(params[name], updates)
+        new_params, new_opts = apply_agent_updates(
+            tx, update_names, grads, params, opt_states)
         return new_params, new_opts, metrics
 
     return step
@@ -493,12 +497,8 @@ def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
                                   desc_set_padded, desc_set_mask, ctx,
                                   top_k, batch_denom),
                 has_aux=True)(params)
-            new_params = dict(params)
-            new_opts = dict(opt_states)
-            for name in update_names:
-                updates, new_opts[name] = tx.update(
-                    grads[name], opt_states[name], params[name])
-                new_params[name] = optax.apply_updates(params[name], updates)
+            new_params, new_opts = apply_agent_updates(
+                tx, update_names, grads, params, opt_states)
             out = ScanMetrics(m.loss_rec, m.loss_sen, m.nll_loss,
                               m.loss_bas_rec, m.loss_bas_sen, m.accuracy)
             return (new_params, new_opts), out
@@ -541,14 +541,8 @@ def make_eval_exchange(modules: AgentModules, use_pallas: bool = False):
                 cfg, params, data, desc,
                 corrupt_mask=corrupt_mask if use_corrupt else None)
             batch = data.shape[0]
-            stop_masks = jnp.concatenate(
-                [jnp.ones((1, batch, 1), jnp.float32), f.masks], axis=0)
-            stop_masks = stop_masks.at[-1].set(0.0)
-            if cfg.fixed_exchange:
-                n_steps = jnp.asarray(cfg.max_exchange, jnp.int32)
-            else:
-                alive = jnp.sum(f.masks, axis=(1, 2)) > 0
-                n_steps = 1 + jnp.sum(alive[:-1].astype(jnp.int32))
+            stop_masks, n_steps = finalize_stop_masks(f.masks,
+                                                      cfg.fixed_exchange)
             zeros = jnp.zeros((cfg.max_exchange, batch, 1), jnp.float32)
             return ExchangeOutputs(
                 stop_masks=stop_masks, stop_feats=f.stop_feats,

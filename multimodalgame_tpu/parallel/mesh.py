@@ -26,9 +26,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodalgame_tpu.game.agents import AgentModules
-from multimodalgame_tpu.game.train import _loss_fn_for, build_optimizer
+from multimodalgame_tpu.game.train import (_loss_fn_for,
+                                           apply_agent_updates,
+                                           build_optimizer)
 
-import optax
 
 BATCH_AXIS = "data"
 
@@ -101,15 +102,11 @@ def make_sharded_train_step(modules: AgentModules, top_k: int,
                 p, data, target, desc, key, desc_set_padded,
                 desc_set_mask, data_context, top_k, batch_denom),
             has_aux=True)(params)
-        new_params = dict(params)
-        new_opts = dict(opt_states)
         update_names = (("sender", "receiver", "baseline_sen",
                          "baseline_rec") if cfg.use_binary
                         else ("receiver",))
-        for name in update_names:
-            updates, new_opts[name] = tx.update(
-                grads[name], opt_states[name], params[name])
-            new_params[name] = optax.apply_updates(params[name], updates)
+        new_params, new_opts = apply_agent_updates(
+            tx, update_names, grads, params, opt_states)
         return new_params, new_opts, metrics
 
     return step
