@@ -15,6 +15,14 @@ ragged lists), reproduced with step masks; the ragged final batch runs as
 its own (smaller-shape) program so padding can never perturb batch
 statistics. Statistics parity with eval.py is pinned by
 tests/test_driver.py::test_fast_dev_eval_matches_host_eval.
+
+Two documented limits of that exactness: (a) exactly-tied class scores
+(possible only with bit-equal description rows) may break ties
+differently than the host argsort; (b) with ``-flipout_dev`` corruption
+the per-batch PRNG keys derive as ``split(key, nb)`` in one program
+rather than the host loop's sequential split chain — same distribution,
+different draws (the same documented PRNG-schedule deviation as the
+chunked driver, PARITY.md).
 """
 
 from __future__ import annotations
@@ -34,7 +42,7 @@ from multimodalgame_tpu.utils.device_pack import PackSpec
 def _fields(nb: int, batch: int):
     return PackSpec([
         ("hits", (nb,)), ("pred", (nb, batch)), ("conv_len", (nb, batch)),
-        ("mh_sen", (nb,)), ("mh_rec", (nb,)), ("n_steps", (nb,)),
+        ("mh_sen", (nb,)), ("mh_rec", (nb,)),
     ])
 
 
@@ -77,7 +85,12 @@ def _get_evaluator(modules: AgentModules, top_k: int):
                            * live[:, None, None])
                 outp = jnp.sum(ex.y * y_masks, axis=0)
             dist = jax.nn.log_softmax(outp, axis=-1)
-            _, tk = jax.lax.top_k(dist, top_k)
+            # k clamped to the class count like the host/reference argsort
+            # slice (losses.topk_accuracy has the same clamp). On exactly
+            # tied scores the k-selection may pick different members than
+            # the host path's argsort — ties require bit-equal class
+            # scores (e.g. duplicate description rows).
+            _, tk = jax.lax.top_k(dist, min(top_k, dist.shape[-1]))
             hits = jnp.sum(tk == target[:, None])
             pred = jnp.argmax(dist, axis=-1)
 
@@ -96,13 +109,13 @@ def _get_evaluator(modules: AgentModules, top_k: int):
             mh_sen = hamming(ex.sen_feats)
             mh_rec = hamming(ex.rec_feats)
 
-            return None, (hits, pred, conv_len, mh_sen, mh_rec, n)
+            return None, (hits, pred, conv_len, mh_sen, mh_rec)
 
-        _, (hits, pred, conv_len, mh_sen, mh_rec, n) = jax.lax.scan(
+        _, (hits, pred, conv_len, mh_sen, mh_rec) = jax.lax.scan(
             body, None, (idx, keys))
         spec = _fields(nb, idx.shape[1])
         return spec.pack(dict(hits=hits, pred=pred, conv_len=conv_len,
-                              mh_sen=mh_sen, mh_rec=mh_rec, n_steps=n))
+                              mh_sen=mh_sen, mh_rec=mh_rec))
 
     cache[top_k] = evaluate
     return evaluate
@@ -115,8 +128,6 @@ def _dev_eval_inputs(flags, modules, desc_pack):
     (advisor round-2 #1). The cache holds a strong reference to the pack
     and validates it with ``is`` — an ``id()`` key would collide if a
     freed pack's address were reused by a new one."""
-    import jax.numpy as jnp
-
     from multimodalgame_tpu.game.masks import build_mask
 
     cfg = modules.cfg

@@ -88,6 +88,16 @@ class Receiver(nn.Module):
                                            self.hid_dim))
         self.y1_bias = self.param("y1_bias", nn.initializers.zeros,
                                   (self.hid_dim,))
+        if self.out_dim != 1:
+            # The reference accepts rec_out_dim > 1 but its own
+            # confidence-weighted mixing then multiplies a (B, D*out)
+            # softmax into (D, wv) descriptions and fails (model.py:433,
+            # 439-449) — dead configuration space. Reject it loudly here
+            # instead of crashing with an opaque shape error downstream
+            # (same policy as wv_type="none", PARITY.md).
+            raise NotImplementedError(
+                "rec_out_dim must be 1: the prediction/query pipeline is "
+                "per-class scalar scores in both frameworks")
         self.y2 = ParamDense(self.hid_dim, self.out_dim, name="y2")
         # Decision (STOP) head (model.py:265)
         self.s = ParamDense(self.hid_dim, self.s_dim, name="s")
@@ -224,12 +234,9 @@ class Receiver(nn.Module):
         # bandwidth bottleneck. A dot/matmul form would force
         # materialization as an MXU operand.
         k2, b2 = self.y2.kb()
-        if self.out_dim == 1:
-            y = (jnp.sum(y_hid * k2[:, 0][None, None, :], axis=-1)
-                 + b2)                                    # (B, D)
-            y = y.reshape(h_z_new.shape[0], -1)
-        else:
-            y = self.y2(y_hid).reshape(h_z_new.shape[0], -1)  # (B, D*out)
+        y = (jnp.sum(y_hid * k2[:, 0][None, None, :], axis=-1)
+             + b2)                                        # (B, D)
+        y = y.reshape(h_z_new.shape[0], -1)
 
         # Confidence-weighted description mixing; scores detached
         # (model.py:441: F.softmax(y).detach()).

@@ -77,16 +77,25 @@ class Sender(nn.Module):
 
         ``x`` is the raw feature batch: ``(B, C, H, W)`` when attention is
         on, ``(B, feat_dim)`` otherwise. Returns the attention key
-        projections plus the spatially-flattened features.
+        projections plus the spatially-flattened features, and the
+        learned-constant code projections (parameter-only, so computed
+        once instead of inside every sequential turn).
         """
+        # code_layer(sigmoid(code_bias)) depends on parameters only
+        # (model.py:196-207) — one (1, h_dim) row per conversation.
+        cache: Dict[str, Any] = {
+            "h_w_first": self.code_layer(
+                nn.sigmoid(self.code_bias)[None, :]),       # (1, h_dim)
+        }
+        if self.ignore_code and self.sender_mix == "mou":
+            cache["h_w_mou"] = self.code_layer(
+                nn.sigmoid(self.code_bias_mou)[None, :])    # (1, h_dim)
         if not self.use_attn:
-            return {}
+            return cache
         b, c, h, w = x.shape
         x_flat = jnp.transpose(x.reshape(b, c, h * w), (0, 2, 1))  # (B,N,C)
-        cache: Dict[str, Any] = {
-            "x_flat": x_flat,
-            "h_x_attn": self.attn_W_x(x_flat),  # (B, N, A)
-        }
+        cache["x_flat"] = x_flat
+        cache["h_x_attn"] = self.attn_W_x(x_flat)  # (B, N, A)
         if self.attn_extra_context:
             cache["h_g"] = self.attn_W_g(g)[:, None, :]  # (B, 1, A)
         return cache
@@ -127,15 +136,11 @@ class Sender(nn.Module):
 
         h_x = self.image_layer(_x)
 
-        first_code = nn.sigmoid(self.code_bias)[None, :]   # (1, w_dim)
-        h_w_first = jnp.broadcast_to(self.code_layer(first_code),
-                                     h_x.shape)
+        h_w_first = jnp.broadcast_to(cache["h_w_first"], h_x.shape)
         if self.ignore_code and self.sender_mix == "mou":
             # t > 0 with ignore_code+mou uses a second learned constant code
             # (model.py:201-205).
-            code_mou = nn.sigmoid(self.code_bias_mou)[None, :]
-            h_w_later = jnp.broadcast_to(self.code_layer(code_mou),
-                                         h_x.shape)
+            h_w_later = jnp.broadcast_to(cache["h_w_mou"], h_x.shape)
         else:
             h_w_later = self.code_layer(w)
         h_w = jnp.where(t == 0, h_w_first, h_w_later)

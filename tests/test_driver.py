@@ -200,6 +200,41 @@ def test_fast_dev_eval_matches_host_eval(synthetic_dataset, small_game,
     assert trues.shape == preds.shape == (dev_ds.size,)
 
 
+def test_fast_dev_eval_clamps_k_to_class_count(synthetic_dataset,
+                                               small_game, tmp_path):
+    """top_k > num_classes must not crash the device sweep: the
+    reference's argsort slice keeps all columns when k > D
+    (model.py:661-665), losses.topk_accuracy clamps, and the duplicated
+    lax.top_k in fast_eval.py got the same clamp (review finding,
+    commit following 7e13d7e)."""
+    from multimodalgame_tpu.eval import eval_dev
+    from multimodalgame_tpu.game.fast_eval import eval_dev_device
+
+    paths = synthetic_dataset
+    mods, params, _, _ = small_game
+    desc = load_descriptions(paths["descr"], "fake", 16)
+    dev_ds = DeviceDataset.from_hdf5(paths["dev"], "avgpool_512",
+                                     map_labels=desc.map_labels)
+
+    f = make_flags()
+    parse_args(f, ["-experiment_name", "fk", "-model_type", "Adaptive",
+                   "-log_path", str(tmp_path),
+                   "-img_feat", "avgpool_512",
+                   "-train_file", paths["train"],
+                   "-dev_file", paths["dev"]])
+    finalize_flags(f, [])
+    os.makedirs(f.log_path, exist_ok=True)
+
+    # 8 > the fixture's 6 classes; every example is a hit on both paths.
+    acc_host, _ = eval_dev(
+        f, mods, params, make_eval_exchange(mods), paths["dev"], 8,
+        epoch=0, shuffle=False, top_k=8, desc_pack=desc)
+    acc_dev, _, _, _ = eval_dev_device(
+        mods, params, dev_ds, epoch=0, shuffle=False, batch_size=8,
+        top_k=8, desc=jnp.asarray(desc.desc), key=jax.random.PRNGKey(0))
+    assert acc_dev == pytest.approx(acc_host, abs=1e-6) == 1.0
+
+
 def _flags(paths, tmp_path, name, extra=()):
     f = make_flags()
     argv = [

@@ -127,6 +127,18 @@ def test_ignore_receiver_zeroes_queries():
     assert float(np.abs(np.asarray(ex.rec_feats)).sum()) == 0.0
 
 
+def test_rec_out_dim_gt_1_rejected():
+    """rec_out_dim > 1 is dead configuration space in the reference too
+    (model.py:433/439-449: the confidence-weighted mixing multiplies a
+    (B, D*out) softmax into (D, wv) descriptions and fails) — the
+    receiver rejects it loudly at setup instead of crashing with an
+    opaque broadcast error downstream."""
+    cfg = _cfg(rec_out_dim=2)
+    mods = AgentModules(cfg)
+    with pytest.raises(NotImplementedError, match="rec_out_dim"):
+        init_params(mods, jax.random.PRNGKey(0), num_classes=D)
+
+
 def test_continuous_channel():
     cfg = _cfg(use_binary=False)
     mods, params, data, desc = _setup(cfg)
