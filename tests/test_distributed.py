@@ -27,6 +27,12 @@ def _worker_env(n_local: int) -> dict:
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Hermetic CPU workers: some images boot a TPU PJRT client into
+    # every python process via a sitecustomize hook gated on this env
+    # var (ignoring JAX_PLATFORMS). Two simultaneous TPU clients hang
+    # the shared device tunnel, so drop the trigger — these workers
+    # must never touch an accelerator.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return env
 
 
