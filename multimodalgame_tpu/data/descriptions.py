@@ -184,8 +184,21 @@ class DescriptionPack:
     def num_classes(self) -> int:
         return self.desc.shape[0]
 
-    def map_labels(self, x: int) -> Optional[int]:
-        return self.label_id_to_idx.get(x)
+    def map_labels(self, x: int) -> int:
+        """Dataset label id -> dense class index.
+
+        The reference's ``dict.get`` returns ``None`` for an id absent
+        from the description CSV and then crashes opaquely inside tensor
+        construction (model.py:1075/1090, misc.py:290) — fail here with
+        the offending id instead, since a miss always means a mismatched
+        dataset/CSV pair."""
+        idx = self.label_id_to_idx.get(x)
+        if idx is None:
+            raise KeyError(
+                f"label id {x} from the dataset has no row in the "
+                f"description CSV ({len(self.label_id_to_idx)} classes "
+                "loaded) — dataset and descriptions file do not match")
+        return idx
 
 
 def load_descriptions(descr_path: str, wv_type: str, wv_dim: int,

@@ -24,15 +24,12 @@ from typing import Callable, Dict, Optional
 import h5py
 import numpy as np
 
+from multimodalgame_tpu.data.hdf5_loader import _squeeze_keep_batch
+
 # Refuse to stage datasets beyond this size (bytes) — at that point a
 # streaming loader is the right tool and silent HBM exhaustion is not.
 DEFAULT_LIMIT_BYTES = int(os.environ.get("MMG_DEVICE_DATA_LIMIT",
                                          4 * 1024 ** 3))
-
-
-def _squeeze_keep_batch(a: np.ndarray) -> np.ndarray:
-    keep = [a.shape[0]] + [s for s in a.shape[1:] if s != 1]
-    return a.reshape(keep)
 
 
 class DeviceDataset:

@@ -110,10 +110,15 @@ def prefetch(iterator: Iterator, depth: int = 2,
         return False
 
     def worker():
+        # A mid-epoch read error (e.g. an HDF5 file truncated by a killed
+        # job) must surface in the consumer, not silently end the epoch
+        # early — ship the exception through the queue and re-raise it.
         try:
             for item in iterator:
                 if not put(stage(item)):
                     return
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            put(e)
         finally:
             put(_END)
 
@@ -124,6 +129,8 @@ def prefetch(iterator: Iterator, depth: int = 2,
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

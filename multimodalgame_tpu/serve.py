@@ -78,10 +78,16 @@ class Predictor:
             return x
         return self._placer(x)
 
-    @staticmethod
-    def _select_fn(y, stop_masks):
-        masks = assemble_loss_masks(stop_masks)
-        outp, _ = get_rec_outp(y, masks.y)
+    def _select_fn(self, y, stop_masks):
+        # Fixed exchanges score the LAST step, exactly like training
+        # (game/train.py masks=None) and eval.py (y[-1]): the stop unit
+        # gets no training signal in fixed mode, so its masks would pick
+        # arbitrary earlier steps' logits.
+        if self.cfg.fixed_exchange:
+            y_masks = None
+        else:
+            y_masks = assemble_loss_masks(stop_masks).y
+        outp, _ = get_rec_outp(y, y_masks)
         return jax.nn.log_softmax(outp, axis=-1)
 
     @classmethod
@@ -163,7 +169,11 @@ def main(argv=None) -> None:
     for batch in load_hdf5(flags.dev_file, flags.batch_size_dev, 0,
                            shuffle=False, truncate_final_batch=True,
                            map_labels=desc_pack.map_labels):
-        out = pred.predict(batch[flags.img_feat])
+        # Attention-with-context checkpoints need the fc context vector
+        # (same contract as eval.py / extract.py).
+        ctx = (batch[flags.data_context] if pred.cfg.attn_extra_context
+               else None)
+        out = pred.predict(batch[flags.img_feat], data_context=ctx)
         for ex_id, p, true in zip(batch["example_ids"], out["prediction"],
                                   batch["target"]):
             print(json.dumps({

@@ -42,6 +42,14 @@ class FileLogger:
                 f.write("%s [%i] %s\n" % (datetime_string, level, message))
 
     def LogJSON(self, message_obj: Any, level: int = INFO) -> None:
+        """Overwrite ``json_log_path`` with one JSON object.
+
+        Faithful to the reference (misc.py:185-190) including its quirks:
+        mode ``"w"`` truncates on every call (the single caller writes the
+        flag dump exactly once per run, model.py:1009-1011 — these are
+        overwrite semantics, not an append log), and a level filtered
+        below ``min_file_level`` falls into the no-filename warning branch
+        even when a filename is set."""
         if self.json_log_path and level >= self.min_file_level:
             with open(self.json_log_path, "w") as f:
                 print(json.dumps(message_obj), file=f)

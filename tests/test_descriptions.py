@@ -1,5 +1,6 @@
 """Description/text pipeline tests (reference misc.py:220-340)."""
 
+import pytest
 import numpy as np
 
 from multimodalgame_tpu.data.descriptions import (DescriptionPack, cbow,
@@ -70,7 +71,10 @@ def test_load_descriptions_pack(tmp_path):
     assert pack.num_classes == 2
     assert pack.map_labels(3) == 0
     assert pack.map_labels(11) == 1
-    assert pack.map_labels(999) is None
+    # Unknown ids fail loudly naming the id (the reference's dict.get
+    # returns None and crashes opaquely in tensor construction later).
+    with pytest.raises(KeyError, match="label id 999"):
+        pack.map_labels(999)
     # Padded word-set view is consistent with the flat set.
     assert pack.desc_set_padded.shape[0] == 2
     assert pack.desc_set_mask.sum() == sum(pack.desc_set_lens)

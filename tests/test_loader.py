@@ -2,6 +2,7 @@
 
 import random
 
+import pytest
 import numpy as np
 
 from multimodalgame_tpu.data.hdf5_loader import load_hdf5, prefetch
@@ -68,6 +69,20 @@ def test_prefetch_preserves_order(tmp_path):
     fetched = [b["target"] for b in prefetch(load_hdf5(path, 5, 1, True))]
     for a, b in zip(plain, fetched):
         assert np.array_equal(a, b)
+
+
+def test_prefetch_propagates_worker_exception():
+    """A mid-epoch read error in the worker thread must raise in the
+    consumer, not silently truncate the epoch (a truncated HDF5 from a
+    killed job would otherwise look like a clean short epoch)."""
+    def broken():
+        yield {"target": np.zeros(2)}
+        raise OSError("simulated truncated read")
+
+    it = prefetch(broken())
+    next(it)
+    with pytest.raises(OSError, match="simulated truncated read"):
+        next(it)
 
 
 def test_prefetch_abandoned_consumer_reaps_worker(tmp_path):

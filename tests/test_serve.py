@@ -48,6 +48,76 @@ def test_predictor_from_trained_checkpoint(synthetic_dataset, tmp_path):
     np.testing.assert_array_equal(out["log_probs"], out2["log_probs"])
 
 
+def test_predictor_fixed_exchange_uses_last_step(synthetic_dataset):
+    """Fixed-exchange serving must score the LAST step like training
+    (game/train.py masks=None) and eval.py (y[-1]) — the untrained stop
+    unit's masks would otherwise select arbitrary earlier steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalgame_tpu.game.agents import AgentModules, init_params
+    from multimodalgame_tpu.game.config import GameConfig
+    from multimodalgame_tpu.game.train import make_eval_exchange
+
+    paths = synthetic_dataset
+    pack = load_descriptions(paths["descr"], "fake", 16)
+    cfg = GameConfig(img_feat_dim=512, img_h_dim=16, sender_out_dim=8,
+                     rec_w_dim=8, rec_hidden=16, wv_dim=16,
+                     max_exchange=3, baseline_hid_dim=16,
+                     fixed_exchange=True)
+    mods = AgentModules(cfg)
+    params = init_params(mods, jax.random.PRNGKey(0),
+                         num_classes=pack.num_classes)
+    feats = np.random.RandomState(1).randn(8, 512).astype(np.float32)
+
+    out = Predictor(cfg, params, pack).predict(feats)
+
+    ex = make_eval_exchange(mods)(params, jnp.asarray(feats),
+                                  jnp.asarray(pack.desc),
+                                  jax.random.PRNGKey(0))
+    expect = np.asarray(jax.nn.log_softmax(ex.y[-1], axis=-1))
+    np.testing.assert_allclose(out["log_probs"], expect, rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_serve_main_attention_context(synthetic_dataset, tmp_path,
+                                      capsys):
+    """serve.main() must feed the fc context vector to attention-with-
+    context checkpoints (eval.py/extract.py contract) — it used to omit
+    it and crash in Sender.precompute."""
+    import json as _json
+
+    from multimodalgame_tpu import serve
+
+    paths = synthetic_dataset
+    argv = ["-experiment_name", "srvattn", "-model_type", "FixedAttention",
+            "-log_path", str(tmp_path / "logs"),
+            "-batch_size", "8", "-batch_size_dev", "8",
+            "-rec_w_dim", "8", "-sender_out_dim", "8",
+            "-img_h_dim", "16", "-rec_hidden", "16",
+            "-baseline_hid_dim", "16", "-attn_dim", "16",
+            "-max_exchange", "2",
+            "-descr_train", paths["descr"], "-descr_dev", paths["descr"],
+            "-train_file", paths["train"], "-dev_file", paths["dev"],
+            "-wv_dim", "16", "-glove_path", paths["glove"],
+            "-log_interval", "100", "-log_dev", "100",
+            "-save_after", "1", "-save_interval", "2",
+            "-exchange_samples", "0"]
+    flags = make_flags()
+    parse_args(flags, argv)
+    finalize_flags(flags, argv)
+    assert flags.attn_extra_context
+    os.makedirs(flags.log_path, exist_ok=True)
+    run(flags, max_steps=3)
+
+    serve.main(argv)
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(lines) == 24  # 6 classes x 4 dev examples
+    for line in lines:
+        rec = _json.loads(line)
+        assert {"example_id", "prediction", "label", "target"} <= set(rec)
+
+
 def test_predictor_mesh_matches_single_device(synthetic_dataset, tmp_path):
     """Mesh-sharded serving returns identical predictions/messages to
     single-device serving (deterministic eval conversation; batch

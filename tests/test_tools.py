@@ -110,6 +110,34 @@ def test_cmd_urls_and_split(tmp_path):
     assert len(set(all_urls)) == 20
 
 
+def test_conversation_lengths_stopmask_filter():
+    """Per-example length = count of StopMask==1 rows, NOT the batch-level
+    row count: the extraction writes trailing StopMask==0 rows for
+    early-stopped examples (binary_vectors.py:88-135 is
+    batch-synchronous)."""
+    dtype = np.dtype([
+        ("ExampleId", "S50"), ("AgentId", "S1"), ("Index", "i"),
+        ("Target", "i"), ("Rank", "i"),
+        ("Predictions", np.float32, (4,)),
+        ("StopProb", np.float32, (1,)), ("StopVec", np.float32, (1,)),
+        ("StopMask", np.float32, (1,)),
+    ])
+    rows = []
+    # Example a (class 0) stops after 1 round; b (class 0) runs all 3;
+    # c (class 1) stops after 2. The batch ran 3 rounds, so every
+    # example has 3 rows.
+    masks = {b"a": [1, 0, 0], b"b": [1, 1, 1], b"c": [1, 1, 0]}
+    tgt = {b"a": 0, b"b": 0, b"c": 1}
+    for t in range(3):
+        for ex in (b"a", b"b", b"c"):
+            rows.append((ex, b"R", 2 * t + 1, tgt[ex], 0,
+                         np.zeros(4, np.float32), (0.5,), (1.0,),
+                         (float(masks[ex][t]),)))
+    preds = np.array(rows, dtype=dtype)
+    lengths = analyse_communication.conversation_lengths(preds)
+    assert lengths == {0: pytest.approx(2.0), 1: pytest.approx(2.0)}
+
+
 def test_analyse_communication(synthetic_dataset, tmp_path):
     """Chain: train briefly -> extract bv.hdf5 -> analyse (the reference's
     notebook workload, SURVEY §2#20)."""

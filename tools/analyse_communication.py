@@ -32,17 +32,18 @@ def load_bv(path: str) -> Tuple[np.ndarray, np.ndarray]:
 def conversation_lengths(preds: np.ndarray) -> Dict[int, float]:
     """Mean number of exchange rounds per class.
 
-    A conversation's rounds for one example are its Predictions rows
-    (one per receiver turn, ``Index = 2t+1``); the count of rows per
-    (ExampleId, Target) pair is the conversation length the extraction
-    recorded (the reference notebook derives the same from row counts
-    after the StopMask filter).
+    The extraction writes a Predictions row for EVERY example at every
+    batch-level step (the reference's extract loop is batch-synchronous,
+    binary_vectors.py:88-135), so an example that stopped early still has
+    trailing rows with ``StopMask == 0``. A conversation's true length is
+    therefore the count of its ``StopMask == 1`` rows (alive entering the
+    round) — the same filter the reference notebook applies before
+    counting.
     """
+    alive = preds["StopMask"][:, 0] == 1
     out: Dict[int, list] = {}
-    ids = preds["ExampleId"]
-    targets = preds["Target"]
-    uniq = {}
-    for ex, t in zip(ids, targets):
+    uniq: Dict[Tuple[bytes, int], int] = {}
+    for ex, t in zip(preds["ExampleId"][alive], preds["Target"][alive]):
         uniq[(bytes(ex), int(t))] = uniq.get((bytes(ex), int(t)), 0) + 1
     for (_, t), n in uniq.items():
         out.setdefault(t, []).append(n)

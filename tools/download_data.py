@@ -125,8 +125,18 @@ def cmd_desc(args) -> None:
     for cls in args.classes.split(","):
         chosen = None
         for i in range(1, 10):
-            syn = wn.synset(f"{cls}.n.0{i}")
-            if syn.lowest_common_hypernyms(animal)[0] == animal:
+            # The reference lets wn.synset raise once the senses run out
+            # (utils/download_data.py:219-225), which aborts with an
+            # obscure WordNetError before its own "no animal synset"
+            # check can fire — treat exhausted senses (and non-animal
+            # LCH results) as "keep looking" so the clear error below is
+            # actually reachable.
+            try:
+                syn = wn.synset(f"{cls}.n.0{i}")
+                lch = syn.lowest_common_hypernyms(animal)
+            except Exception:
+                break
+            if lch and lch[0] == animal:
                 chosen = syn
                 break
         if chosen is None:
@@ -143,7 +153,17 @@ def _download_one(url: str, save_dir: str, throttle: float) -> None:
     path = os.path.join(save_dir, flickr_name(url))
     if os.path.exists(path):
         return
-    urllib.request.urlretrieve(url, path)
+    # Fetch to a temp name and rename on success: a mid-transfer failure
+    # must not leave a truncated file that the exists() check above would
+    # treat as complete on every retry.
+    tmp = path + ".part"
+    try:
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     time.sleep(throttle)
 
 
