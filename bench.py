@@ -255,11 +255,16 @@ def measure_population(n: int = 16, chunk_steps: int = 50,
 
     pop, opts, m = chunk(pop, opts, data, target, desc, keys(100))
     float(m.loss_rec[-1, 0])
-    t0 = time.perf_counter()
-    for i in range(num_chunks):
-        pop, opts, m = chunk(pop, opts, data, target, desc, keys(i))
-    float(m.loss_rec[-1, 0])
-    elapsed = time.perf_counter() - t0
+    # Best of three windows, like every other measurement here (tunnel
+    # throughput varies ±15% between windows).
+    elapsed = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for i in range(num_chunks):
+            pop, opts, m = chunk(pop, opts, data, target, desc,
+                                 keys(trial * num_chunks + i))
+        float(m.loss_rec[-1, 0])
+        elapsed = min(elapsed, time.perf_counter() - t0)
     game_steps = num_chunks * chunk_steps
     return {
         "population": n,
@@ -392,16 +397,19 @@ def measure_roofline(batch: int = 64, compute_dtype: str = "float32",
         ca.get("bytes accessed", float("nan"))) / chunk_steps
 
     # Measured throughput (best of 3; PERFORMANCE.md variance protocol).
-    params, opt_states, m = chunk(params, opt_states, data, target, desc,
-                                  keys(100))
+    # Execute the AOT-compiled object directly: a plain chunk(...) call
+    # would not hit the jit call cache and would recompile the whole
+    # program a second time (~40-90 s through the tunnel).
+    params, opt_states, m = compiled(params, opt_states, data, target,
+                                     desc, keys(100))
     float(m.loss_rec[-1])
     best = float("inf")
     for trial in range(3):
         t0 = time.perf_counter()
         for i in range(num_chunks):
-            params, opt_states, m = chunk(params, opt_states, data,
-                                          target, desc,
-                                          keys(trial * num_chunks + i))
+            params, opt_states, m = compiled(params, opt_states, data,
+                                             target, desc,
+                                             keys(trial * num_chunks + i))
         float(m.loss_rec[-1])
         best = min(best, time.perf_counter() - t0)
     steps_per_sec = num_chunks * chunk_steps / best
@@ -435,6 +443,10 @@ def load_or_measure_baseline() -> float:
     bench = os.path.join(_REPO, "benchmarks", "torch_reference_bench.py")
     out = subprocess.run([sys.executable, bench, "10"],
                          capture_output=True, text=True, timeout=600)
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            "torch baseline bench failed (rc=%d); stderr tail:\n%s"
+            % (out.returncode, out.stderr[-2000:]))
     return float(json.loads(out.stdout.strip().splitlines()[-1])["value"])
 
 

@@ -55,7 +55,11 @@ def main() -> None:
     from multimodalgame_tpu.train import run
 
     os.makedirs(args.workdir, exist_ok=True)
-    if not os.path.exists(os.path.join(args.workdir, "train.hdf5")):
+    # Guard on ALL four outputs, not just train.hdf5: a killed run must
+    # not leave a half-built workdir that later runs treat as complete.
+    if not all(os.path.exists(os.path.join(args.workdir, p))
+               for p in ("train.hdf5", "dev.hdf5", "descriptions.csv",
+                         "glove.txt")):
         build_synthetic_dataset(args.workdir, num_classes=30,
                                 train_per_class=100, dev_per_class=20,
                                 wv_dim=100)

@@ -53,7 +53,10 @@ def main() -> None:
                 descr)
     train = os.path.join(args.workdir, "train.hdf5")
     dev = os.path.join(args.workdir, "dev.hdf5")
-    if not os.path.exists(train):
+    # Guard on BOTH files: a run killed between the two writes (or a
+    # timeout-truncated writer, the CLAUDE.md hazard) must not leave a
+    # half-built workdir that later runs treat as complete.
+    if not (os.path.exists(train) and os.path.exists(dev)):
         write_feature_hdf5(train, 70 * 100, 70, seed=2,
                            single_class_blocks=True)
         write_feature_hdf5(dev, 70 * 20, 70, seed=3,

@@ -397,6 +397,13 @@ def parse_args(flags: Flags, argv: Sequence[str]) -> None:
         d = defs[name]
 
         if inline is not None:
+            # gflags rejects a value on the negated form (--noflag=value):
+            # silently parsing it here would invert the user's negation
+            # (-nofast_driver=true setting fast_driver=True).
+            if negated:
+                raise FlagError(
+                    f"boolean flag -no{name} does not take a value "
+                    f"(got {tok!r}); use -{name}={inline} or -no{name}")
             setattr(flags, name, d.parse(inline))
             i += 1
             continue

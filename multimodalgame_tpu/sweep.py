@@ -91,8 +91,17 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
     # Multi-chip: shard the member axis over the device mesh (zero
     # collectives — members are independent); shared inputs replicate.
     mesh = None
-    n_dev = jax.device_count()
-    if n_dev > 1 and n % n_dev == 0:
+    # Largest mesh whose size divides the member count (members shard
+    # evenly); a non-divisible population falls back to a smaller divisor
+    # mesh rather than silently training everything on one device.
+    n_dev = next((d for d in range(jax.device_count(), 1, -1)
+                  if n % d == 0), 1)
+    if n_dev > 1:
+        if n_dev < jax.device_count():
+            flogger.Log(
+                "Population {} not divisible by {} devices; sharding "
+                "over a {}-device mesh instead".format(
+                    n, jax.device_count(), n_dev))
         from multimodalgame_tpu.parallel.mesh import make_mesh, replicate
         from multimodalgame_tpu.parallel.population import (
             shard_population, shard_population_keys)

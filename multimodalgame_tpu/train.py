@@ -344,6 +344,16 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     dev_accuracy = []
     done = False
     timer = StepTimer()
+    steps_in_span = 0
+    n_acc_host = 0  # prefix of batch_accuracy already converted to float
+
+    def flush_accuracy():
+        """Convert pending device accuracy scalars in one D2H transfer."""
+        nonlocal n_acc_host
+        if n_acc_host < len(batch_accuracy):
+            vals = jax.device_get(batch_accuracy[n_acc_host:])
+            batch_accuracy[n_acc_host:] = [float(v) for v in vals]
+            n_acc_host = len(batch_accuracy)
 
     while epoch < flags.max_epoch and not done:
         flogger.Log("Starting epoch: {}".format(epoch))
@@ -368,19 +378,28 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                     batch[flags.data_context])
 
             key, sub = jax.random.split(key)
-            with timer:
-                params, opt_states, m = train_step(
-                    params, opt_states, data, target, desc_j, sub,
-                    desc_set_padded=padded_j, desc_set_mask=pmask_j,
-                    **kwargs)
+            # One timer span per sync interval, like the chunked driver:
+            # start at the first dispatch after a sync, stop at the log
+            # window's forcing fetch. Timing each async dispatch alone
+            # would report dispatch cost, not step cost — and forcing a
+            # per-step scalar fetch to "fix" that would serialize host
+            # and device.
+            if not timer.running:
+                timer.start()
+                steps_in_span = 0
+            params, opt_states, m = train_step(
+                params, opt_states, data, target, desc_j, sub,
+                desc_set_padded=padded_j, desc_set_mask=pmask_j,
+                **kwargs)
+            steps_in_span += 1
 
-            batch_accuracy.append(float(m.accuracy))
+            # Device scalar now, host float at the next sync point.
+            batch_accuracy.append(m.accuracy)
 
             if step % flags.log_interval == 0:
-                # Batch all log-window metric fetches into one D2H transfer.
-                m = jax.device_get(m)
-                avg_batch_acc = float(np.array(
-                    batch_accuracy[-flags.log_interval:]).mean())
+                # Batch all log-window metric fetches into one D2H
+                # transfer; the bulky per-turn exchange arrays transfer
+                # only when the sparkline dump consumes them.
                 ex = m.exchange
                 host = dict(
                     loss_sen=m.loss_sen, nll_loss=m.nll_loss,
@@ -388,7 +407,7 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                     loss_binary_s=m.loss_binary_s,
                     loss_bas_sen=m.loss_bas_sen,
                     loss_bas_rec=m.loss_bas_rec,
-                    target=np.asarray(target), argmax=m.argmax,
+                    target=target, argmax=m.argmax,
                     n_steps=ex.n_steps,
                     ent_binary_sen=m.ent_binary_sen,
                     ent_binary_rec=m.ent_binary_rec,
@@ -400,22 +419,26 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                         train_rec_probs=ex.rec_probs,
                         train_rec_feats=ex.rec_feats,
                         train_stop_probs=ex.stop_probs,
-                        train_stop_masks_post=np.asarray(ex.stop_masks)[1:])
+                        train_stop_masks_post=ex.stop_masks[1:])
                     # Re-run eval-mode exchange on the same batch for the
                     # inferred-conversation dump (model.py:1463-1465).
                     key, sub = jax.random.split(key)
-                    ev = jax.device_get(
-                        eval_exchange(params, data, desc_j, sub,
-                                      desc_set_padded=padded_j,
-                                      desc_set_mask=pmask_j, **kwargs))
+                    ev = eval_exchange(params, data, desc_j, sub,
+                                       desc_set_padded=padded_j,
+                                       desc_set_mask=pmask_j, **kwargs)
                     host.update(
                         eval_sen_probs=ev.sen_probs,
                         eval_sen_feats=ev.sen_feats,
                         eval_rec_probs=ev.rec_probs,
                         eval_rec_feats=ev.rec_feats,
                         eval_stop_probs=ev.stop_probs,
-                        eval_stop_masks_post=np.asarray(ev.stop_masks)[1:],
+                        eval_stop_masks_post=ev.stop_masks[1:],
                         eval_n_steps=ev.n_steps)
+                host = jax.device_get(host)  # the sync point
+                timer.stop(steps=steps_in_span)
+                flush_accuracy()
+                avg_batch_acc = float(np.array(
+                    batch_accuracy[-flags.log_interval:]).mean())
                 emit_log_window(flags, flogger, logger, epoch, step,
                                 i_batch, avg_batch_acc, host)
 
@@ -476,6 +499,12 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                     dataloader.close()
                 break
 
+        # Close an open span with a real sync (the accuracy flush forces
+        # every dispatched step) so epoch timing is complete even when
+        # log windows are sparser than epochs.
+        if timer.running:
+            flush_accuracy()
+            timer.stop(steps=steps_in_span)
         if timer.count:
             flogger.Log("Epoch {} step timing: {}".format(
                 epoch, timer.summary()))
@@ -483,6 +512,7 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
         epoch += 1
 
     flogger.Log("Finished training.")
+    flush_accuracy()
     return dict(step=step, best_dev_acc=best_dev_acc, params=params,
                 opt_states=opt_states,
                 batch_accuracy=batch_accuracy, metrics=logger.history)

@@ -100,6 +100,17 @@ def test_bool_syntaxes():
     assert f.visdom is False
 
 
+def test_negated_bool_with_value_rejected():
+    """gflags rejects --noflag=value; silently parsing it would invert
+    the user's negation (-nofast_driver=true used to set
+    fast_driver=True)."""
+    f = make_flags()
+    with pytest.raises(FlagError, match="does not take a value"):
+        parse_args(f, ["-nofast_driver=true"])
+    with pytest.raises(FlagError, match="does not take a value"):
+        parse_args(f, ["--nouse_binary=false"])
+
+
 def test_derived_paths():
     f = make_flags()
     argv = ["-experiment_name", "exp1"]

@@ -106,6 +106,12 @@ def test_population_eval_counts(setup):
     c = ev(pop, data[0], target[0], desc,
            jax.random.split(jax.random.PRNGKey(4), N))
     np.testing.assert_array_equal(np.asarray(c), [B] * N)
+    # k > num_classes clamps like the host argsort (losses.topk_accuracy
+    # and fast_eval.py have the same clamp) instead of a trace error.
+    ev_big = make_population_eval(mods, top_k=C + 3)
+    c2 = ev_big(pop, data[0], target[0], desc,
+                jax.random.split(jax.random.PRNGKey(4), N))
+    np.testing.assert_array_equal(np.asarray(c2), [B] * N)
 
 
 def test_sharded_population_matches_unsharded(setup):
