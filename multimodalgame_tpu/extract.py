@@ -98,6 +98,11 @@ def extract_binary(flags, modules, params, eval_exchange: Callable,
         kwargs = {}
         if flags.attn_extra_context:
             kwargs["data_context"] = jnp.asarray(batch[flags.data_context])
+        # Deliberately NO channel corruption here: the reference's
+        # extraction never sets exchange_args["corrupt"] (only eval_dev
+        # does, model.py:637-638 vs binary_vectors.py:66-78), so the
+        # extracted record is always the clean-channel conversation even
+        # under -bit_flip.
         ex = eval_exchange(params, data, desc, sub,
                            desc_set_padded=padded, desc_set_mask=pmask,
                            **kwargs)
@@ -114,13 +119,14 @@ def extract_binary(flags, modules, params, eval_exchange: Callable,
         s_probs = np.asarray(ex.stop_probs)[:n]
         ys = np.asarray(ex.y)[:n]
 
+        # Batch-invariant: one class per batch (binary_vectors.py:96-97).
+        assert len(set(target.tolist())) == 1, \
+            "Rank only works if there is one target"
+        single_target = int(target[0])
+
         for i_exchange in range(n):
             np_preds = ys[i_exchange]
             nclasses = np_preds.shape[1]
-            target_set = set(target.tolist())
-            assert len(target_set) == 1, \
-                "Rank only works if there is one target"
-            single_target = int(target[0])
             # Reference rank formula (binary_vectors.py:99), quirks intact.
             np_rank = np.abs(np_preds.argsort(1) - nclasses)[:, single_target]
 

@@ -384,9 +384,10 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             # Full-metrics boundary step; the payload fetch is deferred
             # so it overlaps the next window's compute.
             key, sub = jax.random.split(key)
+            row = put_rows(row_np)  # placed once, shared by both programs
             params, opt_states, m = full_step(
                 params, opt_states, train_ds.feats, train_ds.targets,
-                put_rows(row_np), desc_j, sub,
+                row, desc_j, sub,
                 feats_context=train_ds.context,
                 desc_set_padded=padded_j, desc_set_mask=pmask_j)
             ex_eval = None
@@ -394,7 +395,6 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 # Re-run eval-mode exchange on the same batch for the
                 # inferred-conversation dump (model.py:1463-1465).
                 key, sub2 = jax.random.split(key)
-                row = put_rows(row_np)
                 data = jnp.take(train_ds.feats, row, axis=0)
                 if transform is not None:
                     data = transform(data)

@@ -22,8 +22,9 @@ the recomputed probabilities equal phase A's because they are the same
 functions of the same inputs — but the backward pass now consists of a
 handful of large batched matmuls plus a T-step BPTT of just the GRU cell.
 
-Eligible for the non-attention configs (visual/description attention keep
-the reference path); selected automatically by the train-step factories.
+Eligible for ALL game configurations (since the attention heads were
+shown to batch over T as well — see supports_fast); the train-step
+factories select it automatically for ``fast="auto"``.
 """
 
 from __future__ import annotations

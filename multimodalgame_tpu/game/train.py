@@ -223,7 +223,7 @@ def make_train_step(modules: AgentModules, top_k: int, batch_denom: int,
 
     Parameter and optimizer-state buffers are donated, so updates happen
     in place on device. ``fast`` selects the batched-gradient path
-    (default "auto": on for non-attention configs).
+    (default "auto": on for every config — fast_train.supports_fast).
     """
     cfg = modules.cfg
     tx = build_optimizer(cfg)

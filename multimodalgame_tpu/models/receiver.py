@@ -100,6 +100,15 @@ class Receiver(nn.Module):
                 "per-class scalar scores in both frameworks")
         self.y2 = ParamDense(self.hid_dim, self.out_dim, name="y2")
         # Decision (STOP) head (model.py:265)
+        if self.s_dim != 1:
+            # Same dead-config policy as rec_out_dim above: the stop-mask
+            # chain min(prev_mask, s) assumes a (B, 1) stop bit in both
+            # frameworks (exchange.py carry; reference model.py:852), so
+            # s_dim > 1 would fail with an opaque scan carry-shape error
+            # far from the cause.
+            raise NotImplementedError(
+                "rec_s_dim must be 1: the stop bit is a scalar per "
+                "example in the exchange mask chain")
         self.s = ParamDense(self.hid_dim, self.s_dim, name="s")
         if self.desc_attn:
             self.d_d = dense(self.desc_attn_dim, "d_d")

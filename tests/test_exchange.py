@@ -139,6 +139,17 @@ def test_rec_out_dim_gt_1_rejected():
         init_params(mods, jax.random.PRNGKey(0), num_classes=D)
 
 
+def test_rec_s_dim_gt_1_rejected():
+    """Same dead-config policy as rec_out_dim: the (B, 1) stop-bit shape
+    is assumed by the exchange mask chain in both frameworks
+    (model.py:852); s_dim > 1 would die with an opaque scan carry-shape
+    error."""
+    cfg = _cfg(rec_s_dim=2)
+    mods = AgentModules(cfg)
+    with pytest.raises(NotImplementedError, match="rec_s_dim"):
+        init_params(mods, jax.random.PRNGKey(0), num_classes=D)
+
+
 def test_continuous_channel():
     cfg = _cfg(use_binary=False)
     mods, params, data, desc = _setup(cfg)
