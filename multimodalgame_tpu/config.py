@@ -135,6 +135,11 @@ def _registry() -> Dict[str, FlagDef]:
     # all-reduce over ICI); -1 = all visible devices. batch_size and
     # batch_size_dev must be divisible by the mesh size.
     define("mesh", "integer", 0)
+    # Extension: checkpoint serialization backend (utils/checkpoint.py).
+    # msgpack = one self-contained file (atomic rename); orbax = async
+    # Orbax checkpoint directory whose serialization/commit overlaps
+    # training. Loading auto-detects, so this only governs writes.
+    define("ckpt_format", "enum", "msgpack", ["msgpack", "orbax"])
     # Extension: population size for the vmapped seed/lr sweep driver
     # (python -m multimodalgame_tpu.sweep; parallel/population.py).
     define("population", "integer", 8)
@@ -249,6 +254,9 @@ _HELP = {
                    "-nofast_driver selects the per-batch host loop.",
     "random_seed": "Master PRNG seed for parameter init and sampling "
                    "streams.",
+    "ckpt_format": "Checkpoint backend: msgpack (one file, atomic "
+                   "rename) or orbax (async checkpoint directory). "
+                   "Loading auto-detects the format from the path.",
     "compute_dtype": "Conversation compute precision; bfloat16 keeps f32 "
                      "parameters, optimizer state, and loss algebra.",
     "mesh": "Data-parallel mesh size for training/serving (0 or 1 = "

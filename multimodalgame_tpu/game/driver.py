@@ -38,7 +38,8 @@ from multimodalgame_tpu.game.fast_eval import run_device_dev_eval
 from multimodalgame_tpu.game.logpack import LogPacker
 from multimodalgame_tpu.game.train import (make_multistep_train_step_indexed,
                                            make_train_step_indexed)
-from multimodalgame_tpu.utils.checkpoint import save_checkpoint
+from multimodalgame_tpu.utils.checkpoint import (save_checkpoint,
+                                                 wait_for_checkpoints)
 from multimodalgame_tpu.utils.profiling import StepTimer
 
 # Chunk sizes are drawn from this fixed set so the number of distinct
@@ -280,7 +281,8 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             snap_params, snap_opts = snapshot
             save_checkpoint(flags.checkpoint + "_best",
                             dict(step=t, best_dev_acc=best_dev_acc),
-                            snap_params, snap_opts)
+                            snap_params, snap_opts,
+                            fmt=flags.ckpt_format)
 
     def dev_dispatch(t, i_batch, epoch):
         """Launch the dev sweep and defer its fetch. The eval programs
@@ -464,7 +466,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             flogger.Log("Checkpointing.")
             save_checkpoint(flags.checkpoint,
                             dict(step=t_done, best_dev_acc=best_dev_acc),
-                            params, opt_states)
+                            params, opt_states, fmt=flags.ckpt_format)
             timer.start()
         step = t_done + 1
         if max_steps is not None and step >= max_steps:
@@ -478,6 +480,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     if timer.count:
         flogger.Log("Final step timing: {}".format(timer.summary()))
         timer.reset()
+    wait_for_checkpoints()  # commit any in-flight async orbax save
     return dict(step=step, best_dev_acc=best_dev_acc, params=params,
                 opt_states=opt_states, batch_accuracy=batch_accuracy,
                 metrics=logger.history)

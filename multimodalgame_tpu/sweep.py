@@ -38,7 +38,8 @@ from multimodalgame_tpu.game.driver import decompose_chunks
 from multimodalgame_tpu.parallel.population import (
     init_population, init_population_opt_states, make_population_eval,
     make_population_train_step, member_params, split_population_keys)
-from multimodalgame_tpu.utils.checkpoint import save_checkpoint
+from multimodalgame_tpu.utils.checkpoint import (save_checkpoint,
+                                                 wait_for_checkpoints)
 from multimodalgame_tpu.utils.logging import FileLogger
 
 
@@ -254,7 +255,7 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
     save_checkpoint(flags.checkpoint + "_best",
                     dict(step=step, best_dev_acc=float(best[winner]),
                          final_dev_acc=float(accs[winner])),
-                    win_params, win_opts)
+                    win_params, win_opts, fmt=flags.ckpt_format)
 
     summary = {
         "population": n,
@@ -269,6 +270,7 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
     print(json.dumps(summary))
     flogger.Log("Sweep summary: " + json.dumps(summary))
     summary["members"] = members
+    wait_for_checkpoints()  # commit any in-flight async orbax save
     return summary
 
 

@@ -30,7 +30,9 @@ from multimodalgame_tpu.game.agents import AgentModules, init_params, param_coun
 from multimodalgame_tpu.game.config import GameConfig
 from multimodalgame_tpu.game.train import (init_opt_states, make_eval_exchange,
                                            make_train_step)
-from multimodalgame_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from multimodalgame_tpu.utils.checkpoint import (load_checkpoint,
+                                                 save_checkpoint,
+                                                 wait_for_checkpoints)
 from multimodalgame_tpu.utils.logging import FileLogger, VisdomLogger
 from multimodalgame_tpu.utils.profiling import StepTimer
 from multimodalgame_tpu.utils.sparks import bin_to_alpha, sparks
@@ -480,14 +482,16 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
                     save_checkpoint(flags.checkpoint + "_best",
                                     dict(step=step,
                                          best_dev_acc=best_dev_acc),
-                                    params, opt_states)
+                                    params, opt_states,
+                                    fmt=flags.ckpt_format)
 
             # Periodic checkpoint (model.py:1578-1584).
             if step >= flags.save_after and step % flags.save_interval == 0:
                 flogger.Log("Checkpointing.")
                 save_checkpoint(flags.checkpoint,
                                 dict(step=step, best_dev_acc=best_dev_acc),
-                                params, opt_states)
+                                params, opt_states,
+                                fmt=flags.ckpt_format)
 
             step += 1
             if max_steps is not None and step >= max_steps:
@@ -513,6 +517,7 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
 
     flogger.Log("Finished training.")
     flush_accuracy()
+    wait_for_checkpoints()  # commit any in-flight async orbax save
     return dict(step=step, best_dev_acc=best_dev_acc, params=params,
                 opt_states=opt_states,
                 batch_accuracy=batch_accuracy, metrics=logger.history)

@@ -7,16 +7,30 @@ models: {4 state_dicts}, optimizers: {4 state_dicts}}``, saved to
 improvement (model.py:1569-1584), with auto-resume when the file exists
 (model.py:1149-1156).
 
-Format: flax ``state_dict`` trees serialized with msgpack — a single
-self-contained file, all tensors on host (the reference also forces CPU
-before writing, misc.py:64). Loading restores into caller-provided
-templates so optimizer-state pytree structure round-trips exactly.
+Formats (``-ckpt_format``):
+
+* ``msgpack`` (default) — flax ``state_dict`` trees serialized with
+  msgpack: a single self-contained file, all tensors on host (the
+  reference also forces CPU before writing, misc.py:64), written with an
+  atomic rename.
+* ``orbax`` — the same ``{data, models, optimizers}`` payload written as
+  an Orbax checkpoint *directory* via an ``AsyncCheckpointer``: the save
+  returns after a device snapshot and the serialization/commit runs on a
+  background thread, so periodic checkpoints overlap training dispatch
+  instead of blocking it. Orbax finalizes atomically (tmp directory +
+  rename), and :func:`load_checkpoint` auto-detects the format from the
+  path (directory = orbax, file = msgpack), so ``-ckpt_format`` only
+  needs to be set when *writing*.
+
+Loading restores into caller-provided templates so optimizer-state pytree
+structure round-trips exactly in both formats.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -27,17 +41,27 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(filename: str, data: Dict[str, Any],
-                    params: Dict[str, Any], opt_states: Dict[str, Any]
-                    ) -> None:
-    """Write ``{data, models, optimizers}`` to one msgpack file
-    (atomic rename so a crash can't truncate an existing checkpoint)."""
-    payload = {
+def _payload(data, params, opt_states) -> Dict[str, Any]:
+    return {
         "data": {k: np.asarray(v) for k, v in data.items()},
         "models": serialization.to_state_dict(_to_host(params)),
         "optimizers": serialization.to_state_dict(_to_host(opt_states)),
     }
-    blob = serialization.msgpack_serialize(payload)
+
+
+def save_checkpoint(filename: str, data: Dict[str, Any],
+                    params: Dict[str, Any], opt_states: Dict[str, Any],
+                    fmt: str = "msgpack") -> None:
+    """Write ``{data, models, optimizers}`` to ``filename`` in ``fmt``
+    (``msgpack``: one file, atomic rename so a crash can't truncate an
+    existing checkpoint; ``orbax``: async checkpoint directory)."""
+    if fmt == "orbax":
+        _save_orbax(filename, _payload(data, params, opt_states))
+        return
+    if fmt != "msgpack":
+        raise ValueError(f"unknown checkpoint format: {fmt!r}")
+    blob = serialization.msgpack_serialize(_payload(data, params,
+                                                   opt_states))
     tmp = filename + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
@@ -48,15 +72,59 @@ def load_checkpoint(filename: str, params: Dict[str, Any],
                     opt_states: Dict[str, Any]
                     ) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
     """Restore ``(data, params, opt_states)`` from ``filename`` using the
-    given templates for pytree structure (reference misc.py:78-92)."""
+    given templates for pytree structure (reference misc.py:78-92). The
+    format is auto-detected: a directory is an orbax checkpoint, a file
+    is msgpack."""
     filename = os.path.expanduser(filename)
-    if not os.path.exists(filename):
+    wait_for_checkpoints()  # a just-dispatched async save must commit
+    if os.path.isdir(filename):
+        payload = _restore_orbax(filename)
+    elif os.path.exists(filename):
+        with open(filename, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+    else:
         raise FileNotFoundError("File does not exist: " + filename)
-    with open(filename, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
     new_params = serialization.from_state_dict(params, payload["models"])
     new_opts = serialization.from_state_dict(opt_states, payload["optimizers"])
     data = {k: (v.item() if hasattr(v, "item") and getattr(v, "ndim", 1) == 0
                 else v)
             for k, v in payload["data"].items()}
     return data, new_params, new_opts
+
+
+# --- Orbax backend -----------------------------------------------------
+
+_ORBAX: Optional[Any] = None   # singleton AsyncCheckpointer
+
+
+def _orbax_checkpointer():
+    global _ORBAX
+    if _ORBAX is None:
+        import orbax.checkpoint as ocp
+        _ORBAX = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        atexit.register(wait_for_checkpoints)
+    return _ORBAX
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async orbax save has committed (no-op
+    when none is pending or orbax was never used)."""
+    if _ORBAX is not None:
+        _ORBAX.wait_until_finished()
+
+
+def _save_orbax(dirname: str, payload: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+    ckptr = _orbax_checkpointer()
+    # One in-flight save at a time: a second save would race the first's
+    # commit (orbax also enforces this; the explicit wait keeps the
+    # failure mode deterministic).
+    ckptr.wait_until_finished()
+    ckptr.save(os.path.abspath(dirname),
+               args=ocp.args.PyTreeSave(payload), force=True)
+
+
+def _restore_orbax(dirname: str) -> Dict[str, Any]:
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()
+    return ckptr.restore(os.path.abspath(dirname))

@@ -86,3 +86,40 @@ def test_atomic_overwrite(tmp_path):
     save_checkpoint(path, dict(step=2, best_dev_acc=0.2), params, opts)
     data, _, _ = load_checkpoint(path, params, opts)
     assert data["step"] == 2
+
+
+def test_orbax_roundtrip(tmp_path):
+    """-ckpt_format orbax: async directory checkpoint; load_checkpoint
+    auto-detects the format from the path (directory = orbax)."""
+    import os
+    cfg, mods, params, opts = _setup()
+    path = str(tmp_path / "ckpt.orbax")
+    save_checkpoint(path, dict(step=7, best_dev_acc=0.5), params, opts,
+                    fmt="orbax")
+
+    params2 = init_params(mods, jax.random.PRNGKey(9), num_classes=3)
+    opts2 = init_opt_states(cfg, params2)
+    data, params3, opts3 = load_checkpoint(path, params2, opts2)
+
+    assert os.path.isdir(path)
+    assert data["step"] == 7
+    assert data["best_dev_acc"] == 0.5
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (jax.tree_util.tree_structure(opts)
+            == jax.tree_util.tree_structure(opts3))
+
+
+def test_orbax_overwrite_and_unknown_fmt(tmp_path):
+    cfg, mods, params, opts = _setup()
+    path = str(tmp_path / "ckpt.orbax")
+    save_checkpoint(path, dict(step=1, best_dev_acc=0.1), params, opts,
+                    fmt="orbax")
+    save_checkpoint(path, dict(step=2, best_dev_acc=0.2), params, opts,
+                    fmt="orbax")
+    data, _, _ = load_checkpoint(path, params, opts)
+    assert data["step"] == 2
+    with pytest.raises(ValueError):
+        save_checkpoint(str(tmp_path / "x"), dict(step=0), params, opts,
+                        fmt="pickle")

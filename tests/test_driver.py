@@ -341,6 +341,23 @@ def test_fast_driver_resume(synthetic_dataset, tmp_path):
     assert "Loading from: " + f2.checkpoint in open(f2.log_file).read()
 
 
+def test_fast_driver_resume_orbax(synthetic_dataset, tmp_path):
+    """-ckpt_format orbax: the driver's periodic checkpoint is an async
+    orbax directory, and auto-resume detects and restores it."""
+    from multimodalgame_tpu.train import run
+
+    paths = synthetic_dataset
+    f1 = _flags(paths, tmp_path, "resorb",
+                extra=["-ckpt_format", "orbax"])
+    run(f1, max_steps=5)
+    assert os.path.isdir(f1.checkpoint)
+    f2 = _flags(paths, tmp_path, "resorb",
+                extra=["-ckpt_format", "orbax"])
+    out = run(f2, max_steps=7)
+    assert out["step"] == 7
+    assert "Loading from: " + f2.checkpoint in open(f2.log_file).read()
+
+
 def test_fast_driver_chunks_span_epochs(synthetic_dataset, tmp_path,
                                         monkeypatch):
     """Chunk boundaries come from host-visible cadences only — a single
