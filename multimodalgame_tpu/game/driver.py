@@ -44,6 +44,10 @@ from multimodalgame_tpu.utils.profiling import StepTimer
 
 # Chunk sizes are drawn from this fixed set so the number of distinct
 # compiled programs is bounded by its length, not by the flag values.
+# Max 512: 1024- and 2048-step chunks were A/B-measured and REJECTED —
+# under the real dispatch-overlap protocol larger chunks are ~5% slower
+# (coarser planning/execution pipelining; PERFORMANCE.md "Tried and
+# rejected" records the order-controlled measurements).
 _POW2 = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
 
 # The reference's torchvision Scale size for CIFAR images

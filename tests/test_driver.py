@@ -418,11 +418,11 @@ def test_deferred_best_checkpoint_matches_dev_step_params(
     saved = {}
     real_save = drv.save_checkpoint
 
-    def spy_save(path, data, params, opts):
+    def spy_save(path, data, params, opts, **kw):
         if path.endswith("_best"):
             saved[data["step"]] = jax.tree_util.tree_map(np.asarray,
                                                          params)
-        return real_save(path, data, params, opts)
+        return real_save(path, data, params, opts, **kw)
 
     monkeypatch.setattr(drv, "save_checkpoint", spy_save)
     f = _flags(paths, tmp_path, "defer",
