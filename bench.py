@@ -484,8 +484,12 @@ def main() -> None:
         # re-measure once and keep the better reading.
         print("bench: hot-loop reading below e2e (tunnel slow patch); "
               "re-measuring", file=sys.stderr)
-        value = max(value, measure_tpu_steps_per_sec(chunk_steps=512,
-                                                     num_chunks=4))
+        try:
+            value = max(value, _retry_once(measure_tpu_steps_per_sec,
+                                           chunk_steps=512, num_chunks=4))
+        except Exception as e:  # noqa: BLE001 — keep the first reading
+            print(f"bench: re-measure failed ({e!r}); keeping the "
+                  "original reading", file=sys.stderr)
     print(json.dumps({
         "metric": "adaptive_train_steps_per_sec",
         "value": round(value, 2),

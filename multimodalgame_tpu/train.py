@@ -241,6 +241,14 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     best_dev_acc = 0.0
 
     if os.path.exists(flags.checkpoint):
+        if os.path.isdir(flags.checkpoint) and flags.ckpt_format != "orbax":
+            # Resumed an orbax-format run without re-passing the flag:
+            # adopt the on-disk format so the next periodic save doesn't
+            # collide with the directory (save_checkpoint fails fast on a
+            # format mismatch).
+            flags.ckpt_format = "orbax"
+            flogger.Log("Checkpoint is an orbax directory; using "
+                        "-ckpt_format orbax for this run")
         flogger.Log("Loading from: " + flags.checkpoint)
         data, params, opt_states = load_checkpoint(flags.checkpoint, params,
                                                    opt_states)

@@ -15,12 +15,19 @@ Formats (``-ckpt_format``):
   atomic rename.
 * ``orbax`` — the same ``{data, models, optimizers}`` payload written as
   an Orbax checkpoint *directory* via an ``AsyncCheckpointer``: the save
-  returns after a device snapshot and the serialization/commit runs on a
+  returns after a host snapshot and the serialization/commit runs on a
   background thread, so periodic checkpoints overlap training dispatch
-  instead of blocking it. Orbax finalizes atomically (tmp directory +
-  rename), and :func:`load_checkpoint` auto-detects the format from the
-  path (directory = orbax, file = msgpack), so ``-ckpt_format`` only
-  needs to be set when *writing*.
+  instead of blocking it. Crash safety: the async save targets a
+  ``.staging`` sibling (orbax's ``force=True`` would delete the live
+  checkpoint *before* its replacement commits), and the staging
+  directory is swapped into place at the next synchronization point
+  (:func:`wait_for_checkpoints` — called before every subsequent
+  save/load, at driver exit, and atexit), so the previous checkpoint
+  survives any crash up to the swap. :func:`load_checkpoint`
+  auto-detects the format from the path (directory = orbax, file =
+  msgpack), so ``-ckpt_format`` only needs to be set when *writing* —
+  and a write whose path holds the OTHER format fails fast with an
+  actionable error instead of corrupting it.
 
 Loading restores into caller-provided templates so optimizer-state pytree
 structure round-trips exactly in both formats.
@@ -56,12 +63,22 @@ def save_checkpoint(filename: str, data: Dict[str, Any],
     (``msgpack``: one file, atomic rename so a crash can't truncate an
     existing checkpoint; ``orbax``: async checkpoint directory)."""
     if fmt == "orbax":
+        if os.path.isfile(filename):
+            raise ValueError(
+                f"{filename} is a msgpack checkpoint file but "
+                "-ckpt_format orbax was requested; pass -ckpt_format "
+                "msgpack (the resumed run's format) or remove the file")
         _save_orbax(filename, _payload(data, params, opt_states))
         return
     if fmt != "msgpack":
         raise ValueError(f"unknown checkpoint format: {fmt!r}")
+    if os.path.isdir(filename):
+        raise ValueError(
+            f"{filename} is an orbax checkpoint directory but the "
+            "msgpack format was requested; pass -ckpt_format orbax "
+            "(the resumed run's format) or remove the directory")
     blob = serialization.msgpack_serialize(_payload(data, params,
-                                                   opt_states))
+                                                    opt_states))
     tmp = filename + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
@@ -94,7 +111,8 @@ def load_checkpoint(filename: str, params: Dict[str, Any],
 
 # --- Orbax backend -----------------------------------------------------
 
-_ORBAX: Optional[Any] = None   # singleton AsyncCheckpointer
+_ORBAX: Optional[Any] = None     # singleton AsyncCheckpointer
+_PENDING_SWAPS: list = []        # [(committed staging dir, final dir)]
 
 
 def _orbax_checkpointer():
@@ -107,24 +125,45 @@ def _orbax_checkpointer():
 
 
 def wait_for_checkpoints() -> None:
-    """Block until any in-flight async orbax save has committed (no-op
-    when none is pending or orbax was never used)."""
-    if _ORBAX is not None:
-        _ORBAX.wait_until_finished()
+    """Block until any in-flight async orbax save has committed, then
+    swap committed staging directories into their final paths (no-op
+    when orbax was never used).
+
+    The swap replaces the previous checkpoint only AFTER its successor
+    fully committed, so a crash at any point leaves a loadable
+    checkpoint: before the swap the old one is still at the path; the
+    two renames inside the swap are the only (microsecond) exposure."""
+    if _ORBAX is None:
+        return
+    _ORBAX.wait_until_finished()
+    import shutil
+    while _PENDING_SWAPS:
+        staging, final = _PENDING_SWAPS.pop(0)
+        old = final + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(staging, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
 
 def _save_orbax(dirname: str, payload: Dict[str, Any]) -> None:
+    import shutil
+
     import orbax.checkpoint as ocp
     ckptr = _orbax_checkpointer()
-    # One in-flight save at a time: a second save would race the first's
-    # commit (orbax also enforces this; the explicit wait keeps the
-    # failure mode deterministic).
-    ckptr.wait_until_finished()
-    ckptr.save(os.path.abspath(dirname),
-               args=ocp.args.PyTreeSave(payload), force=True)
+    # Finalize any previous save first: one in-flight save at a time,
+    # and its staging directory must be swapped away before reuse.
+    wait_for_checkpoints()
+    staging = os.path.abspath(dirname) + ".staging"
+    if os.path.exists(staging):  # leftover from a crashed run
+        shutil.rmtree(staging)
+    ckptr.save(staging, args=ocp.args.PyTreeSave(payload))
+    _PENDING_SWAPS.append((staging, os.path.abspath(dirname)))
 
 
 def _restore_orbax(dirname: str) -> Dict[str, Any]:
-    ckptr = _orbax_checkpointer()
-    ckptr.wait_until_finished()
-    return ckptr.restore(os.path.abspath(dirname))
+    # Caller (load_checkpoint) has already drained pending saves/swaps.
+    return _orbax_checkpointer().restore(os.path.abspath(dirname))

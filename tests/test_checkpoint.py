@@ -92,6 +92,7 @@ def test_orbax_roundtrip(tmp_path):
     """-ckpt_format orbax: async directory checkpoint; load_checkpoint
     auto-detects the format from the path (directory = orbax)."""
     import os
+    pytest.importorskip("orbax.checkpoint")
     cfg, mods, params, opts = _setup()
     path = str(tmp_path / "ckpt.orbax")
     save_checkpoint(path, dict(step=7, best_dev_acc=0.5), params, opts,
@@ -112,14 +113,46 @@ def test_orbax_roundtrip(tmp_path):
 
 
 def test_orbax_overwrite_and_unknown_fmt(tmp_path):
+    import os
+    pytest.importorskip("orbax.checkpoint")
     cfg, mods, params, opts = _setup()
     path = str(tmp_path / "ckpt.orbax")
     save_checkpoint(path, dict(step=1, best_dev_acc=0.1), params, opts,
                     fmt="orbax")
+    # Crash safety: before the next synchronization point the previous
+    # checkpoint is still intact at the path (the new one commits to a
+    # .staging sibling and swaps in at wait_for_checkpoints).
+    data, _, _ = load_checkpoint(path, params, opts)
+    assert data["step"] == 1
     save_checkpoint(path, dict(step=2, best_dev_acc=0.2), params, opts,
                     fmt="orbax")
+    # The async save must not have deleted the live checkpoint.
+    assert os.path.isdir(path)
     data, _, _ = load_checkpoint(path, params, opts)
     assert data["step"] == 2
+    # No staging/old leftovers after the swap finalized.
+    assert not os.path.exists(path + ".staging")
+    assert not os.path.exists(path + ".old")
     with pytest.raises(ValueError):
         save_checkpoint(str(tmp_path / "x"), dict(step=0), params, opts,
                         fmt="pickle")
+
+
+def test_checkpoint_format_mismatch_fails_fast(tmp_path):
+    """Writing one format over the other's artifact is an actionable
+    error, not a corruption or an opaque OS error."""
+    pytest.importorskip("orbax.checkpoint")
+    cfg, mods, params, opts = _setup()
+    fpath = str(tmp_path / "ckpt.pt")
+    save_checkpoint(fpath, dict(step=1, best_dev_acc=0.1), params, opts)
+    with pytest.raises(ValueError, match="msgpack checkpoint file"):
+        save_checkpoint(fpath, dict(step=2, best_dev_acc=0.2), params,
+                        opts, fmt="orbax")
+    dpath = str(tmp_path / "ckpt.orbax")
+    save_checkpoint(dpath, dict(step=1, best_dev_acc=0.1), params, opts,
+                    fmt="orbax")
+    from multimodalgame_tpu.utils.checkpoint import wait_for_checkpoints
+    wait_for_checkpoints()
+    with pytest.raises(ValueError, match="orbax checkpoint directory"):
+        save_checkpoint(dpath, dict(step=2, best_dev_acc=0.2), params,
+                        opts, fmt="msgpack")

@@ -344,6 +344,7 @@ def test_fast_driver_resume(synthetic_dataset, tmp_path):
 def test_fast_driver_resume_orbax(synthetic_dataset, tmp_path):
     """-ckpt_format orbax: the driver's periodic checkpoint is an async
     orbax directory, and auto-resume detects and restores it."""
+    pytest.importorskip("orbax.checkpoint")
     from multimodalgame_tpu.train import run
 
     paths = synthetic_dataset
@@ -356,6 +357,15 @@ def test_fast_driver_resume_orbax(synthetic_dataset, tmp_path):
     out = run(f2, max_steps=7)
     assert out["step"] == 7
     assert "Loading from: " + f2.checkpoint in open(f2.log_file).read()
+    # Resuming WITHOUT re-passing -ckpt_format adopts the on-disk format
+    # (otherwise the next periodic save would collide with the
+    # directory).
+    f3 = _flags(paths, tmp_path, "resorb")
+    out = run(f3, max_steps=9)
+    assert out["step"] == 9
+    assert f3.ckpt_format == "orbax"
+    assert ("Checkpoint is an orbax directory; using -ckpt_format orbax"
+            in open(f3.log_file).read())
 
 
 def test_fast_driver_chunks_span_epochs(synthetic_dataset, tmp_path,
