@@ -505,11 +505,23 @@ def finalize_flags(flags: Flags, argv: Sequence[str] = ()) -> Flags:
         PRESETS[flags.model_type](flags)
         parse_args(flags, argv)  # CLI overrides win over the preset.
 
-    assert flags.sender_out_dim == flags.rec_w_dim, \
-        "Both sender and receiver should communicate with same dim vectors for now."
+    if flags.sender_out_dim != flags.rec_w_dim:
+        # The reference asserts this (model.py:1756-1757); raise so the
+        # guard survives ``python -O``.
+        raise ValueError("Both sender and receiver should communicate "
+                         "with same dim vectors for now.")
 
     if not flags.use_binary:
         flags.exchange_samples = 0
+    if flags.exchange_samples > flags.batch_size:
+        # The log window samples its dumped conversations from one
+        # training batch; more samples than rows would die at the first
+        # boundary with an opaque reshape/index error (in the reference
+        # too, model.py:1411-1518).
+        raise ValueError(
+            f"-exchange_samples {flags.exchange_samples} exceeds "
+            f"-batch_size {flags.batch_size}: conversation dumps sample "
+            "from a single training batch")
 
     if not flags.experiment_name:
         timestamp = str(int(time.time()))

@@ -149,6 +149,9 @@ def eval_dev(flags, modules, params, eval_exchange: Callable,
                 rec_probs=np.asarray(ex.rec_probs)[:n],
                 y=y))
 
+    if total == 0:
+        raise ValueError("dev set is empty — nothing to evaluate")
+
     # Confusion matrix CSV (model.py:706-710).
     true_labels = np.concatenate(true_labels).reshape(-1)
     pred_labels = np.concatenate(pred_labels).reshape(-1)

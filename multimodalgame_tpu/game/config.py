@@ -73,9 +73,11 @@ class GameConfig:
         # here covers direct-API construction too (the channel and its
         # corruption mask are sized by rec_w_dim but applied to
         # sender-width messages).
-        assert self.sender_out_dim == self.rec_w_dim, (
-            f"sender_out_dim ({self.sender_out_dim}) must equal "
-            f"rec_w_dim ({self.rec_w_dim})")
+        if self.sender_out_dim != self.rec_w_dim:
+            # raise (not assert) so the guard survives ``python -O``.
+            raise ValueError(
+                f"sender_out_dim ({self.sender_out_dim}) must equal "
+                f"rec_w_dim ({self.rec_w_dim})")
 
     @classmethod
     def from_flags(cls, flags) -> "GameConfig":

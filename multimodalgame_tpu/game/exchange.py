@@ -213,7 +213,10 @@ def exchange(modules: AgentModules, params: Dict[str, Any],
             sprod_new = sprod
         else:
             if cfg.s_prob_prod:
-                sprod_new = jnp.where(t == 0, s_prob, sprod * s_prob)
+                # sprod starts at ones, so the t==0 step needs no
+                # special case: 1.0 * x is exact (the torch oracle uses
+                # the same unconditional multiply).
+                sprod_new = sprod * s_prob
             else:
                 sprod_new = s_prob
             s_binary = hard_round(sprod_new)

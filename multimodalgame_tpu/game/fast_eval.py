@@ -212,6 +212,8 @@ def eval_dev_device(modules: AgentModules, params, dev_ds: DeviceDataset,
         row_placer = jnp.asarray
     idx = dev_ds.epoch_indices(epoch, shuffle, batch_size,
                                truncate_final_batch=True)
+    if dev_ds.size == 0:
+        raise ValueError("dev set is empty — nothing to evaluate")
     tail = None
     if idx.shape[0] and (idx[-1] < 0).any():
         tail = idx[-1][idx[-1] >= 0]

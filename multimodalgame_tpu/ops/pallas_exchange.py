@@ -156,7 +156,9 @@ def _kernel(cfg: GameConfig, train: bool,
             s_bit = sample(s_prob)
         else:
             if cfg.s_prob_prod:
-                sprod = s_prob if t == 0 else sprod * s_prob
+                # sprod starts at ones; 1.0 * x is exact, so t==0 needs
+                # no special case (same form as game/exchange.py).
+                sprod = sprod * s_prob
             else:
                 sprod = s_prob
             s_bit = jnp.floor(sprod + 0.5)

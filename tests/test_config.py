@@ -150,7 +150,17 @@ def test_log_load_roundtrip(tmp_path):
 def test_dim_invariant():
     f = make_flags()
     parse_args(f, ["-sender_out_dim", "16"])
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="same dim"):
+        finalize_flags(f, [])
+
+
+def test_exchange_samples_exceeding_batch_rejected():
+    """More dumped conversations than batch rows would die at the first
+    log boundary with an opaque reshape error (reference included) —
+    fail loudly at setup instead."""
+    f = make_flags()
+    parse_args(f, ["-batch_size", "2", "-exchange_samples", "3"])
+    with pytest.raises(ValueError, match="exchange_samples"):
         finalize_flags(f, [])
 
 

@@ -160,6 +160,21 @@ def test_flat_carry_matches_tree_carry(small_game, optim):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_empty_dev_set_fails_loudly(small_game):
+    """A zero-row dev set raises a clear error instead of crashing deep
+    in the statistics (np.concatenate of an empty list / 0-division)."""
+    from multimodalgame_tpu.game.fast_eval import eval_dev_device
+
+    mods, params, _, _ = small_game
+    empty = DeviceDataset(np.zeros((0, 512), np.float32),
+                          np.zeros((0,), np.int32))
+    with pytest.raises(ValueError, match="empty"):
+        eval_dev_device(mods, params, empty, epoch=0, shuffle=False,
+                        batch_size=8, top_k=2,
+                        desc=jnp.zeros((3, 16), jnp.float32),
+                        key=jax.random.PRNGKey(0))
+
+
 def test_fast_dev_eval_matches_host_eval(synthetic_dataset, small_game,
                                          tmp_path):
     """One-program dev sweep (game/fast_eval.py) reproduces eval.py's

@@ -179,5 +179,5 @@ def test_game_config_channel_width_invariant():
     enforced at GameConfig construction, not just in the CLI."""
     from multimodalgame_tpu.game.config import GameConfig
 
-    with pytest.raises(AssertionError, match="rec_w_dim"):
+    with pytest.raises(ValueError, match="rec_w_dim"):
         GameConfig(sender_out_dim=64, rec_w_dim=50)
