@@ -419,7 +419,8 @@ def parse_args(flags: Flags, argv: Sequence[str]) -> None:
             # Bare boolean (``-use_binary``) or with an explicit value
             # (``-use_binary true``). gflags accepts both.
             if not negated and i + 1 < len(args) and \
-                    args[i + 1].lower() in ("true", "false", "t", "f", "1", "0"):
+                    args[i + 1].lower() in ("true", "false", "t", "f",
+                                            "1", "0", "yes", "no"):
                 setattr(flags, name, d.parse(args[i + 1]))
                 i += 2
             else:
@@ -493,6 +494,14 @@ def finalize_flags(flags: Flags, argv: Sequence[str] = ()) -> Flags:
 
     Order: ``log_load`` JSON -> re-apply CLI -> preset -> re-apply CLI ->
     invariants -> derived names/paths -> git provenance.
+
+    Reference-parity quirk (model.py:1744-1754 has the same order): when
+    the ``log_load`` JSON carries a ``model_type``, the preset re-applies
+    AFTER the JSON restore, so preset-owned flags the original run
+    overrode on its CLI (e.g. ``-attn_dim 512`` under FixedAttention)
+    revert to preset values unless re-passed on the new CLI. Reloading a
+    customized run therefore needs the custom flags repeated (exactly as
+    the reference requires).
     """
     if flags.log_load:
         log_flags = json.loads(open(flags.log_load).read())

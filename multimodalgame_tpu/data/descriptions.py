@@ -77,10 +77,22 @@ def read_data(input_descr: str):
     label_id_to_idx: Dict[int, int] = {}
     idx_to_label: Dict[int, str] = {}
     with open(input_descr, "r") as f:
-        for i, line in enumerate(f):
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
+            if not line:
+                continue  # tolerate blank lines (e.g. a trailing newline)
             parts = line.split(",")
+            if len(parts) < 3:
+                raise ValueError(
+                    f"{input_descr}:{lineno}: expected "
+                    f"'label_id,label,description', got {line!r}")
             label_id, label = parts[:2]
+            try:
+                label_id_int = int(label_id)
+            except ValueError:
+                raise ValueError(
+                    f"{input_descr}:{lineno}: label_id {label_id!r} is "
+                    "not an integer (is this a header row?)") from None
             desc = line[len(label_id) + len(label) + 2:]
             tokens = clean_desc(desc)
             for w in tokens:
@@ -88,9 +100,9 @@ def read_data(input_descr: str):
                     dict_size += 1
                     word_dict[w] = {"id": dict_size}
             descr[num_descr] = {"name": label, "desc": tokens}
+            label_id_to_idx[label_id_int] = num_descr
+            idx_to_label[num_descr] = label
             num_descr += 1
-            label_id_to_idx[int(label_id)] = i
-            idx_to_label[i] = label
     return descr, word_dict, dict_size, label_id_to_idx, idx_to_label
 
 

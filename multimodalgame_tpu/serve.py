@@ -17,6 +17,7 @@ CLI: ``python -m multimodalgame_tpu.serve -checkpoint <path> -log_load
 from __future__ import annotations
 
 import json
+import os
 import sys
 from typing import Dict, Optional
 
@@ -165,7 +166,11 @@ def main(argv=None) -> None:
     if n_mesh == -1 or n_mesh > 1:
         from multimodalgame_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(None if n_mesh == -1 else n_mesh)
-    pred = Predictor.from_checkpoint(flags, desc_pack, mesh=mesh)
+    # Same fused-kernel opt-in the training/eval CLI honors (train.py).
+    pred = Predictor.from_checkpoint(
+        flags, desc_pack,
+        use_pallas=os.environ.get("MMG_USE_PALLAS_EVAL") == "1",
+        mesh=mesh)
     for batch in load_hdf5(flags.dev_file, flags.batch_size_dev, 0,
                            shuffle=False, truncate_final_batch=True,
                            map_labels=desc_pack.map_labels):

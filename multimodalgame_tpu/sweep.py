@@ -21,6 +21,7 @@ single-game checkpoint layout at ``<checkpoint>_best``.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from typing import Optional
@@ -55,6 +56,8 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
               eval_every: Optional[int] = None) -> dict:
     """Train the population; returns the summary dict (per-member dev
     accuracies, winner index, timings)."""
+    if flags.log_file:
+        os.makedirs(os.path.dirname(flags.log_file) or ".", exist_ok=True)
     flogger = FileLogger(flags.log_file)
     n = flags.population
     cfg = GameConfig.from_flags(flags)
@@ -125,14 +128,17 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
     def dev_accuracy(key) -> np.ndarray:
         idx = dev_ds.epoch_indices(0, False, flags.batch_size_dev,
                                    truncate_final_batch=True)
+        if dev_ds.size == 0:
+            raise ValueError("dev set is empty — nothing to evaluate")
         correct = np.zeros((n,), np.int64)
         total = 0
         for row in idx:
             row = row[row >= 0]
             key, sub = jax.random.split(key)
-            data = jnp.take(dev_ds.feats, jnp.asarray(row), axis=0)
-            target = jnp.take(dev_ds.targets, jnp.asarray(row), axis=0)
-            ctx = (jnp.take(dev_ds.context, jnp.asarray(row), axis=0)
+            row_j = jnp.asarray(row)  # staged once, used by all gathers
+            data = jnp.take(dev_ds.feats, row_j, axis=0)
+            target = jnp.take(dev_ds.targets, row_j, axis=0)
+            ctx = (jnp.take(dev_ds.context, row_j, axis=0)
                    if dev_ds.context is not None else None)
             c = batch_eval(pop_params, data, target, desc_dev_j,
                            jax.random.split(sub, n),

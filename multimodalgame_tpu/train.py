@@ -182,6 +182,11 @@ def _load_desc_pack(flags: Flags, descr_path: str) -> DescriptionPack:
 
 def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     """Train (or eval/extract, per flags). Returns a summary dict."""
+    # The first Log() appends to flags.log_file — create its directory
+    # up front so a fresh checkout with the default -log_path ./logs
+    # doesn't die on FileNotFoundError before training starts.
+    if flags.log_file:
+        os.makedirs(os.path.dirname(flags.log_file) or ".", exist_ok=True)
     flogger = FileLogger(flags.log_file)
     logger = VisdomLogger(env=flags.env,
                           experiment_name=flags.experiment_name,
@@ -241,14 +246,18 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     best_dev_acc = 0.0
 
     if os.path.exists(flags.checkpoint):
+        # Resuming adopts the checkpoint's on-disk format (either
+        # direction) so the next periodic save doesn't collide with the
+        # existing artifact (save_checkpoint fails fast on a mismatch).
         if os.path.isdir(flags.checkpoint) and flags.ckpt_format != "orbax":
-            # Resumed an orbax-format run without re-passing the flag:
-            # adopt the on-disk format so the next periodic save doesn't
-            # collide with the directory (save_checkpoint fails fast on a
-            # format mismatch).
             flags.ckpt_format = "orbax"
             flogger.Log("Checkpoint is an orbax directory; using "
                         "-ckpt_format orbax for this run")
+        elif (os.path.isfile(flags.checkpoint)
+              and flags.ckpt_format != "msgpack"):
+            flags.ckpt_format = "msgpack"
+            flogger.Log("Checkpoint is a msgpack file; using "
+                        "-ckpt_format msgpack for this run")
         flogger.Log("Loading from: " + flags.checkpoint)
         data, params, opt_states = load_checkpoint(flags.checkpoint, params,
                                                    opt_states)
@@ -330,8 +339,7 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     # below remains for -nofast_driver and the CIFAR+attn_extra_context
     # combination (streaming loader; the fc context there is the same
     # flattened pixels, not worth a second staged copy).
-    if flags.fast_driver and not (flags.images == "cifar"
-                                  and flags.attn_extra_context):
+    if uses_fast_driver:
         from multimodalgame_tpu.game.driver import run_fast
         summary = run_fast(flags, modules, params, opt_states, desc_train,
                            desc_dev, flogger, logger, eval_exchange,

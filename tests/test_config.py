@@ -98,6 +98,12 @@ def test_bool_syntaxes():
     assert f.shuffle_train is False
     assert f.debug is True
     assert f.visdom is False
+    # yes/no are valid boolean values in -flag value form too (the
+    # lookahead must accept everything FlagDef.parse accepts).
+    f2 = make_flags()
+    parse_args(f2, ["-shuffle_train", "no", "-debug", "yes"])
+    assert f2.shuffle_train is False
+    assert f2.debug is True
 
 
 def test_negated_bool_with_value_rejected():

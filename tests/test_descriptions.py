@@ -41,6 +41,29 @@ def test_read_data(tmp_path):
     assert dict_size == len(word_dict)
 
 
+def test_read_data_blank_lines_and_bad_rows(tmp_path):
+    """Blank lines (e.g. a trailing newline) are tolerated; malformed
+    rows fail with an error naming the file and line."""
+    import pytest
+
+    p = tmp_path / "d.csv"
+    _write_csv(p)
+    with open(p, "a") as f:
+        f.write("\n")  # trailing blank line
+    descr, _, _, l2i, _ = read_data(str(p))
+    assert len(descr) == 2 and l2i == {3: 0, 11: 1}
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("3,aardvark\n")  # missing description column
+    with pytest.raises(ValueError, match="bad.csv:1"):
+        read_data(str(bad))
+
+    hdr = tmp_path / "hdr.csv"
+    hdr.write_text("label_id,label,description\n3,aardvark,a mammal\n")
+    with pytest.raises(ValueError, match="header"):
+        read_data(str(hdr))
+
+
 def test_embed_and_cbow(tmp_path):
     p = tmp_path / "d.csv"
     _write_csv(p)

@@ -350,9 +350,13 @@ def test_fast_driver_resume(synthetic_dataset, tmp_path):
     paths = synthetic_dataset
     f1 = _flags(paths, tmp_path, "res")
     run(f1, max_steps=5)
-    f2 = _flags(paths, tmp_path, "res")
+    # Resuming a msgpack run with -ckpt_format orbax adopts the on-disk
+    # format (mirror of the orbax-dir case) instead of dying at the
+    # first periodic save.
+    f2 = _flags(paths, tmp_path, "res", extra=["-ckpt_format", "orbax"])
     out = run(f2, max_steps=7)
     assert out["step"] == 7
+    assert f2.ckpt_format == "msgpack"
     assert "Loading from: " + f2.checkpoint in open(f2.log_file).read()
 
 
