@@ -30,38 +30,35 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(_REPO, ".jax_cache"))
 
 
-def measure_tpu_steps_per_sec(chunk_steps: int = 50,
-                              num_chunks: int = 20, batch: int = 64,
-                              compute_dtype: str = "float32",
-                              num_classes: int = 30,
-                              **cfg_overrides) -> float:
+def _jax_with_cache():
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
-    import jax.numpy as jnp
-    from multimodalgame_tpu.game.agents import AgentModules, init_params
+
+def flagship_cfg(**overrides):
+    """The reference README's canonical Adaptive config (README.md:30-53)
+    — the single source for every benchmark surface below."""
     from multimodalgame_tpu.game.config import GameConfig
-    from multimodalgame_tpu.game.train import (init_opt_states,
-                                               make_multistep_train_step)
 
-    cfg_kw = dict(
+    kw = dict(
         img_feat="avgpool_512", img_feat_dim=512, img_h_dim=256,
         sender_out_dim=32, rec_w_dim=32, rec_hidden=64, wv_dim=100,
         max_exchange=10, fixed_exchange=False,
         entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
-        learning_rate=1e-4, optim_type="RMSprop",
-        compute_dtype=compute_dtype)
-    cfg_kw.update(cfg_overrides)
-    cfg = GameConfig(**cfg_kw)
-    modules = AgentModules(cfg)
+        learning_rate=1e-4, optim_type="RMSprop")
+    kw.update(overrides)
+    return GameConfig(**kw)
 
-    params = init_params(modules, jax.random.PRNGKey(0),
-                         num_classes=num_classes)
-    opt_states = init_opt_states(cfg, params)
-    chunk = make_multistep_train_step(modules, top_k=6, batch_denom=batch)
+
+def staged_batches(cfg, chunk_steps: int, batch: int, num_classes: int):
+    """One synthetic batch broadcast to ``(chunk_steps, ...)`` + the
+    description matrix, staged on device (shared by the hot-loop,
+    population, and roofline measurements)."""
+    import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
     data = jnp.asarray(
@@ -72,6 +69,29 @@ def measure_tpu_steps_per_sec(chunk_steps: int = 50,
         np.broadcast_to(rng.randint(0, num_classes, size=batch),
                         (chunk_steps, batch)).copy())
     desc = jnp.asarray(rng.randn(num_classes, cfg.wv_dim), jnp.float32)
+    return data, target, desc
+
+
+def measure_tpu_steps_per_sec(chunk_steps: int = 50,
+                              num_chunks: int = 20, batch: int = 64,
+                              compute_dtype: str = "float32",
+                              num_classes: int = 30,
+                              **cfg_overrides) -> float:
+    jax = _jax_with_cache()
+    from multimodalgame_tpu.game.agents import AgentModules, init_params
+    from multimodalgame_tpu.game.train import (init_opt_states,
+                                               make_multistep_train_step)
+
+    cfg = flagship_cfg(compute_dtype=compute_dtype, **cfg_overrides)
+    modules = AgentModules(cfg)
+
+    params = init_params(modules, jax.random.PRNGKey(0),
+                         num_classes=num_classes)
+    opt_states = init_opt_states(cfg, params)
+    chunk = make_multistep_train_step(modules, top_k=6, batch_denom=batch)
+
+    data, target, desc = staged_batches(cfg, chunk_steps, batch,
+                                        num_classes)
 
     def keys(seed):
         return jax.random.split(jax.random.PRNGKey(seed), chunk_steps)
@@ -119,7 +139,6 @@ def measure_epoch_throughput(num_epochs: int = 60) -> dict:
                                                    write_fake_glove,
                                                    write_feature_hdf5)
     from multimodalgame_tpu.game.agents import AgentModules, init_params
-    from multimodalgame_tpu.game.config import GameConfig
     from multimodalgame_tpu.game.driver import decompose_chunks
     from multimodalgame_tpu.game.train import (
         init_opt_states, make_multistep_train_step_indexed)
@@ -135,12 +154,7 @@ def measure_epoch_throughput(num_epochs: int = 60) -> dict:
                        single_class_blocks=True,
                        feature_keys=("avgpool_512",))
 
-    cfg = GameConfig(
-        img_feat="avgpool_512", img_feat_dim=512, img_h_dim=256,
-        sender_out_dim=32, rec_w_dim=32, rec_hidden=64, wv_dim=100,
-        max_exchange=10, fixed_exchange=False,
-        entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
-        learning_rate=1e-4, optim_type="RMSprop")
+    cfg = flagship_cfg()
     modules = AgentModules(cfg)
     pack = load_descriptions(descr, "glove.6B", 100, glove_path=glove)
 
@@ -217,23 +231,13 @@ def measure_population(n: int = 16, chunk_steps: int = 50,
                        num_chunks: int = 10, batch: int = 64) -> dict:
     """Vmapped seed-sweep throughput (parallel/population.py): N canonical
     Adaptive games training simultaneously on one chip."""
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
+    jax = _jax_with_cache()
     from multimodalgame_tpu.game.agents import AgentModules
-    from multimodalgame_tpu.game.config import GameConfig
     from multimodalgame_tpu.parallel.population import (
         init_population, init_population_opt_states,
         make_population_train_step, split_population_keys)
 
-    cfg = GameConfig(
-        img_feat="avgpool_512", img_feat_dim=512, img_h_dim=256,
-        sender_out_dim=32, rec_w_dim=32, rec_hidden=64, wv_dim=100,
-        max_exchange=10, fixed_exchange=False,
-        entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
-        learning_rate=1e-4, optim_type="RMSprop")
+    cfg = flagship_cfg()
     modules = AgentModules(cfg)
     num_classes = 30
 
@@ -242,14 +246,8 @@ def measure_population(n: int = 16, chunk_steps: int = 50,
     opts = init_population_opt_states(cfg, pop)
     chunk = make_population_train_step(modules, top_k=6, batch_denom=batch)
 
-    rng = np.random.RandomState(0)
-    data = jnp.asarray(np.broadcast_to(
-        rng.randn(batch, 512), (chunk_steps, batch, 512)).copy(),
-        jnp.float32)
-    target = jnp.asarray(np.broadcast_to(
-        rng.randint(0, num_classes, size=batch),
-        (chunk_steps, batch)).copy())
-    desc = jnp.asarray(rng.randn(num_classes, 100), jnp.float32)
+    data, target, desc = staged_batches(cfg, chunk_steps, batch,
+                                        num_classes)
 
     def keys(seed):
         return split_population_keys(jax.random.PRNGKey(seed),
@@ -285,27 +283,14 @@ def measure_serving(batch: int = 64, k: int = 50,
     staged batches (individual sub-ms eval calls through the tunnel are
     dispatch-bound, so per-call marginal timing measures the host, not
     the device)."""
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
+    jax = _jax_with_cache()
     from multimodalgame_tpu.game.agents import AgentModules, init_params
-    from multimodalgame_tpu.game.config import GameConfig
     from multimodalgame_tpu.game.train import make_eval_exchange
 
-    cfg = GameConfig(
-        img_feat="avgpool_512", img_feat_dim=512, img_h_dim=256,
-        sender_out_dim=32, rec_w_dim=32, rec_hidden=64, wv_dim=100,
-        max_exchange=10, fixed_exchange=False,
-        entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
-        learning_rate=1e-4, optim_type="RMSprop")
+    cfg = flagship_cfg()
     modules = AgentModules(cfg)
     params = init_params(modules, jax.random.PRNGKey(0), num_classes=30)
-    rng = np.random.RandomState(0)
-    data = jnp.asarray(np.broadcast_to(
-        rng.randn(batch, 512), (k, batch, 512)).copy(), jnp.float32)
-    desc = jnp.asarray(rng.randn(30, 100), jnp.float32)
+    data, _, desc = staged_batches(cfg, k, batch, 30)
     keys = jax.random.split(jax.random.PRNGKey(1), k)
 
     out = {"batch": batch}
@@ -351,39 +336,20 @@ def measure_roofline(batch: int = 64, compute_dtype: str = "float32",
     bytes/s, against TPU v5e peaks (197 TFLOP/s bf16 MXU, ~819 GB/s
     HBM — the public v5e datasheet numbers used by the scaling-book
     roofline model)."""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    import jax.numpy as jnp
+    jax = _jax_with_cache()
     from multimodalgame_tpu.game.agents import AgentModules, init_params
-    from multimodalgame_tpu.game.config import GameConfig
     from multimodalgame_tpu.game.train import (init_opt_states,
                                                make_multistep_train_step)
 
-    cfg_kw = dict(
-        img_feat="avgpool_512", img_feat_dim=512, img_h_dim=256,
-        sender_out_dim=32, rec_w_dim=32, rec_hidden=64, wv_dim=100,
-        max_exchange=10, fixed_exchange=False,
-        entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
-        learning_rate=1e-4, optim_type="RMSprop",
-        compute_dtype=compute_dtype)
-    cfg_kw.update(cfg_overrides)
-    cfg = GameConfig(**cfg_kw)
+    cfg = flagship_cfg(compute_dtype=compute_dtype, **cfg_overrides)
     modules = AgentModules(cfg)
     params = init_params(modules, jax.random.PRNGKey(0),
                          num_classes=num_classes)
     opt_states = init_opt_states(cfg, params)
     chunk = make_multistep_train_step(modules, top_k=6, batch_denom=batch)
 
-    rng = np.random.RandomState(0)
-    data = jnp.asarray(np.broadcast_to(
-        rng.randn(batch, cfg.img_feat_dim),
-        (chunk_steps, batch, cfg.img_feat_dim)).copy(), jnp.float32)
-    target = jnp.asarray(np.broadcast_to(
-        rng.randint(0, num_classes, size=batch),
-        (chunk_steps, batch)).copy())
-    desc = jnp.asarray(rng.randn(num_classes, cfg.wv_dim), jnp.float32)
+    data, target, desc = staged_batches(cfg, chunk_steps, batch,
+                                        num_classes)
 
     def keys(seed):
         return jax.random.split(jax.random.PRNGKey(seed), chunk_steps)

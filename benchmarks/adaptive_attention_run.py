@@ -55,14 +55,17 @@ def main() -> None:
     from multimodalgame_tpu.train import run
 
     os.makedirs(args.workdir, exist_ok=True)
-    # Guard on ALL four outputs, not just train.hdf5: a killed run must
-    # not leave a half-built workdir that later runs treat as complete.
-    if not all(os.path.exists(os.path.join(args.workdir, p))
-               for p in ("train.hdf5", "dev.hdf5", "descriptions.csv",
-                         "glove.txt")):
+    # Guard on a completion marker written AFTER the build: existence
+    # checks alone can't catch a timeout-truncated writer (h5py creates
+    # each file at open, so a run killed during the last write leaves
+    # all four present, one corrupt — the CLAUDE.md hazard).
+    marker = os.path.join(args.workdir, ".dataset_complete")
+    if not os.path.exists(marker):
         build_synthetic_dataset(args.workdir, num_classes=30,
                                 train_per_class=100, dev_per_class=20,
                                 wv_dim=100)
+        with open(marker, "w") as mf:
+            mf.write("ok\n")
 
     tag = args.tag or "aa_lr{}_es{}_seed{}".format(
         args.lr, args.entropy_s, args.seed)

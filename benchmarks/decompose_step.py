@@ -94,6 +94,7 @@ def make_variant(modules, variant):
                 has_aux=True)(params)
             new_params = dict(params)
             new_opts = dict(opt_states)
+            grad_dep = 0.0
             if variant != "no_opt":
                 import optax
                 for name in AGENT_NAMES:
@@ -101,9 +102,16 @@ def make_variant(modules, variant):
                         grads[name], opt_states[name], params[name])
                     new_params[name] = optax.apply_updates(
                         params[name], updates)
-            out = (m.loss_rec if variant == "no_metric" else
-                   (m.loss_rec, m.loss_sen, m.nll_loss, m.loss_bas_rec,
-                    m.loss_bas_sen, m.accuracy))
+            else:
+                # The output must depend on the grads or XLA dead-code-
+                # eliminates the whole backward pass and "no_opt" times
+                # forward-only (inflating the optimizer estimate by the
+                # entire VJP cost).
+                grad_dep = sum(jnp.sum(l) for l in
+                               jax.tree_util.tree_leaves(grads))
+            out = (m.loss_rec + grad_dep if variant == "no_metric" else
+                   (m.loss_rec + grad_dep, m.loss_sen, m.nll_loss,
+                    m.loss_bas_rec, m.loss_bas_sen, m.accuracy))
             return (new_params, new_opts), out
 
         (p, o), metrics = jax.lax.scan(body, (params, opt_states),

@@ -53,14 +53,18 @@ def main() -> None:
                 descr)
     train = os.path.join(args.workdir, "train.hdf5")
     dev = os.path.join(args.workdir, "dev.hdf5")
-    # Guard on BOTH files: a run killed between the two writes (or a
-    # timeout-truncated writer, the CLAUDE.md hazard) must not leave a
-    # half-built workdir that later runs treat as complete.
-    if not (os.path.exists(train) and os.path.exists(dev)):
+    # Guard on a completion marker written AFTER both files: existence
+    # checks alone can't catch a timeout-truncated writer (h5py creates
+    # the file at open, so a run killed mid-second-write leaves both
+    # present, one corrupt — the CLAUDE.md hazard).
+    marker = os.path.join(args.workdir, ".dataset_complete")
+    if not os.path.exists(marker):
         write_feature_hdf5(train, 70 * 100, 70, seed=2,
                            single_class_blocks=True)
         write_feature_hdf5(dev, 70 * 20, 70, seed=3,
                            single_class_blocks=True)
+        with open(marker, "w") as mf:
+            mf.write("ok\n")
 
     tag = "mammals70_seed{}".format(args.seed)
     logdir = os.path.join(args.workdir, "logs_" + tag)

@@ -23,7 +23,6 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(
     ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
@@ -36,6 +35,3 @@ def synthetic_dataset(tmp_path_factory):
                                    wv_dim=16, seed=0)
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.RandomState(0)
