@@ -49,6 +49,12 @@ CONFIGS = {
     # Mixed-precision trajectory: bf16 conversation, f32 loss/optimizer.
     "adaptive_bf16": dict(fixed_exchange=False,
                           compute_dtype="bfloat16"),
+    # Continuous channel (use_binary=False): only the receiver trains;
+    # messages are raw scores (round-3 continuation — the last mode
+    # without a pinned trajectory).
+    "continuous": dict(fixed_exchange=True, use_binary=False),
+    # MoU sender mixing (model.py:208-221 third branch).
+    "adaptive_mou": dict(fixed_exchange=False, sender_mix="mou"),
 }
 
 
@@ -134,9 +140,11 @@ def test_tpu_golden_within_cross_platform_bound():
     tpu = json.load(open(GOLDEN_TPU_PATH))
     # Bound is loose by design: REINFORCE trajectories amplify platform
     # fp differences over the 5 optimizer steps (measured max ~0.6%
-    # relative at step 3); the tight 1e-4 check runs on-device via
+    # relative at step 3 for the original configs; ~4% at step 4 for the
+    # mou mix, whose 4x-wide binary_layer input amplifies faster); the
+    # tight 1e-4 check runs on-device via
     # `python -m tests.test_golden check-tpu`.
-    _compare(tpu, cpu, rtol=2e-2, atol=2e-3, label="tpu-vs-cpu:")
+    _compare(tpu, cpu, rtol=6e-2, atol=2e-3, label="tpu-vs-cpu:")
 
 
 def test_gradient_equality_fast_vs_scan_f64():
