@@ -48,10 +48,18 @@ def two_process_metrics():
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(2)]
     outs = []
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=300)
-        assert p.returncode == 0, f"worker failed:\n{stderr[-3000:]}"
-        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+    try:
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=300)
+            assert p.returncode == 0, f"worker failed:\n{stderr[-3000:]}"
+            outs.append(json.loads(stdout.strip().splitlines()[-1]))
+    finally:
+        # A timed-out/failed handshake must not strand workers holding
+        # the coordinator port (the CLAUDE.md leaked-worker hazard).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     return outs
 
 

@@ -292,8 +292,6 @@ def test_fast_driver_log_artifacts_match_legacy(synthetic_dataset,
     def line_kinds(path):
         kinds = []
         for ln in open(path).read().splitlines():
-            # strip timestamp prefix, keep the message head
-            msg = ln.split(": ", 1)[-1]
             for head in ("Training Accuracy", "Loss Sender",
                          "Loss Receiver (Y)", "Loss Receiver (Z)",
                          "Loss Receiver (S)", "Loss Baseline",

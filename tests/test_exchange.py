@@ -109,8 +109,11 @@ def test_first_rec_seeds_initial_query():
     mods, params, data, desc = _setup(cfg)
     ex_ones = exchange(mods, params, data, desc, jax.random.PRNGKey(5),
                        train=False)
+    # Genuinely different modules built from first_rec=0.0 (identical
+    # parameters: init is a function of the key and shapes only).
     cfg0 = _cfg(first_rec=0.0, max_exchange=1)
-    ex_zeros = exchange(mods, params, data, desc, jax.random.PRNGKey(5),
+    mods0, params0, _, _ = _setup(cfg0)
+    ex_zeros = exchange(mods0, params0, data, desc, jax.random.PRNGKey(5),
                         train=False)
     # first_rec changes nothing at t==0 for the sender code path (the
     # learned code_bias is used instead of w, model.py:196-200), so the

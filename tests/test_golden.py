@@ -107,7 +107,15 @@ def _run_all():
 
 
 def _compare(got, want, rtol, atol=1e-6, label=""):
+    # Strict coverage: a CONFIGS entry missing from the golden file (a
+    # forgotten regen) or a shortened trace must fail, not silently skip.
+    assert set(got) == set(want), (
+        f"{label}config sets differ: only-in-got={set(got) - set(want)}, "
+        f"only-in-want={set(want) - set(got)} — regenerate the goldens")
     for name in want:
+        assert len(got[name]) == len(want[name]), \
+            f"{label}{name}: trace length {len(got[name])} != " \
+            f"{len(want[name])}"
         for i, (g, t) in enumerate(zip(want[name], got[name])):
             for k in g:
                 np.testing.assert_allclose(

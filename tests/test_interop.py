@@ -161,7 +161,6 @@ def test_rmsprop_trajectory_continuation(tmp_path):
     # identical gradient.
     import jax.numpy as jnp
     import optax
-    grads_t = {}
     opt.zero_grad()
     (o(None, z, h) ** 2).mean().backward()
     named = dict(o.named_parameters())
