@@ -18,7 +18,16 @@ driver removes every per-step host interaction:
   is packed into ONE flat vector on device (game/logpack.py) and fetched
   with a single transfer;
 * dev evaluation is one compiled sweep over the staged dev set
-  (game/fast_eval.py) returning one packed statistics vector.
+  (game/fast_eval.py) returning one packed statistics vector;
+* periodic checkpoints snapshot params/optimizer state ON DEVICE at the
+  save step and defer the host fetch + file write to the next
+  host-visible event (same step-ordered event queue as the log/dev
+  payloads, same commit contract as the async orbax backend: on disk by
+  the next event and before the driver returns — a crash in between
+  loses at most that one save, the previous file survives). The fetch
+  itself pipelines the leaf transfers (utils/device_pack.fetch_tree)
+  instead of paying one blocking round trip per leaf. ``MMG_SYNC_SAVE=1``
+  restores synchronous writes.
 
 Log-artifact parity with the legacy driver (and hence with the reference's
 ``run()``) is pinned by tests/test_driver.py; the two drivers differ only
@@ -27,6 +36,7 @@ in their PRNG schedule (documented in PARITY.md) and host-sync pattern.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -305,16 +315,41 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                     if t >= flags.save_after else (None, None))
         pending.append(("dev", (finish, t, i_batch, epoch, snapshot)))
 
+    def flush_save(ev):
+        """Materialize a deferred periodic checkpoint. The device-side
+        snapshot was taken at the save step; the fetch + file write ride
+        here — overlapping the training dispatched since — with the same
+        commit contract as the async orbax backend: the file is on disk
+        by the next host-visible event and before the driver returns.
+        ``best_dev_acc`` is exact because events flush in step order, so
+        every dev result at or before the save step has already landed."""
+        t, snapshot = ev
+        flush_acc()
+        if state["steps_timed"]:
+            timer.stop(steps=state["steps_timed"])
+            state["steps_timed"] = 0
+        else:
+            timer.cancel()
+        flogger.Log("Checkpointing.")
+        snap_params, snap_opts = snapshot
+        save_checkpoint(flags.checkpoint,
+                        dict(step=t, best_dev_acc=best_dev_acc),
+                        snap_params, snap_opts, fmt=flags.ckpt_format)
+        timer.start()
+
     def flush_events():
-        """Flush deferred host-visible events (log windows, dev evals) in
-        step order — called before emitting any new host-visible line so
-        log content and order match immediate processing exactly."""
+        """Flush deferred host-visible events (log windows, dev evals,
+        periodic checkpoints) in step order — called before emitting any
+        new host-visible line so log content and order match immediate
+        processing exactly."""
         while pending:
             kind, ev = pending.pop(0)
             if kind == "log":
                 flush_payload(ev)
-            else:
+            elif kind == "dev":
                 flush_dev(ev)
+            else:
+                flush_save(ev)
 
     # --- Cross-epoch batch stream (VERDICT round-2 #5) ---------------
     # Chunks are bounded by host-visible cadences (log/dev/save) and
@@ -459,19 +494,17 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             flush_events()
             dev_dispatch(t_done, ev_batch, ev_epoch)
         if is_save(t_done):
-            # Periodic checkpoint reads the live params: a real sync.
-            flush_events()
-            flush_acc()
-            if state["steps_timed"]:
-                timer.stop(steps=state["steps_timed"])
-                state["steps_timed"] = 0
-            else:
-                timer.cancel()
-            flogger.Log("Checkpointing.")
-            save_checkpoint(flags.checkpoint,
-                            dict(step=t_done, best_dev_acc=best_dev_acc),
-                            params, opt_states, fmt=flags.ckpt_format)
-            timer.start()
+            # Periodic checkpoint: snapshot on device (fresh buffers —
+            # later chunks donate the live ones) and defer the fetch +
+            # write to the next host-visible event, where it overlaps
+            # the training dispatched in between. MMG_SYNC_SAVE=1
+            # restores the synchronous write (measurement/debug knob).
+            pending.append(("save", (t_done, snap((params, opt_states)))))
+            if (os.environ.get("MMG_SYNC_SAVE") == "1"
+                    or sum(1 for k, _ in pending if k == "save") > 8):
+                # The cap bounds snapshot HBM when no log/dev event ever
+                # intervenes (pathological cadences).
+                flush_events()
         step = t_done + 1
         if max_steps is not None and step >= max_steps:
             done = True

@@ -5,8 +5,11 @@ one device->host read costs ~30 ms of round-trip latency *regardless of
 size* — reading a dozen small metric arrays serially costs ~0.4 s, while
 one packed vector of the same bytes costs one round trip. Everything the
 host needs from a device computation (interval-log metrics, dev-eval
-statistics, checkpoint snapshots) is therefore concatenated into a single
-flat ``float32`` vector on device and sliced apart on host.
+statistics) is therefore concatenated into a single flat ``float32``
+vector on device and sliced apart on host. (Checkpoint trees take the
+complementary route: ``jax.device_get`` pipelines the per-leaf copies —
+utils/checkpoint.py:_to_host — which keeps exact dtypes without an extra
+compiled concat program.)
 
 The reference has no analog (its tensors live on the host already); this
 subsystem exists because the TPU runtime boundary is a network hop.
@@ -14,9 +17,8 @@ subsystem exists because the TPU runtime boundary is a network hop.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,31 +64,3 @@ class PackSpec:
         for name, (a, b, shape) in self._offsets.items():
             out[name] = flat[a:b].reshape(shape) if shape else flat[a]
         return out
-
-
-def pack_pytree(tree: Any) -> jnp.ndarray:
-    """Flatten a pytree of device arrays into one f32 vector (device op).
-
-    Used for checkpoint snapshots: fetching a ~30-leaf parameter tree
-    leaf-by-leaf costs ~30 round trips; packed, it costs one.
-    """
-    leaves = jax.tree_util.tree_leaves(tree)
-    if not leaves:
-        return jnp.zeros((0,), jnp.float32)
-    return jnp.concatenate(
-        [jnp.asarray(l, jnp.float32).reshape(-1) for l in leaves])
-
-
-def unpack_pytree(flat: np.ndarray, template: Any) -> Any:
-    """Rebuild a host pytree matching ``template``'s structure/shapes from
-    a packed vector (dtypes are restored from the template leaves)."""
-    flat = np.asarray(flat)
-    leaves, treedef = jax.tree_util.tree_flatten(template)
-    out = []
-    off = 0
-    for l in leaves:
-        size = int(np.prod(np.shape(l))) if np.shape(l) else 1
-        vals = flat[off:off + size].reshape(np.shape(l))
-        out.append(vals.astype(np.asarray(l).dtype))
-        off += size
-    return jax.tree_util.tree_unflatten(treedef, out)

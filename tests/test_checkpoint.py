@@ -156,3 +156,41 @@ def test_checkpoint_format_mismatch_fails_fast(tmp_path):
     with pytest.raises(ValueError, match="orbax checkpoint directory"):
         save_checkpoint(dpath, dict(step=2, best_dev_acc=0.2), params,
                         opts, fmt="msgpack")
+
+
+def test_to_host_exact_mixed_dtypes():
+    """The checkpoint fetch (_to_host = jax.device_get) pipelines the
+    leaf transfers; the result must be bit-identical to a per-leaf
+    np.asarray fetch — dtypes, shapes (incl. 0-d), and values — with
+    host leaves passing through untouched."""
+    from multimodalgame_tpu.utils.checkpoint import _to_host as fetch_tree
+
+    rng = np.random.RandomState(3)
+    tree = {
+        "f32": jnp.asarray(rng.randn(3, 4), jnp.float32),
+        "f32_scalar": jnp.asarray(np.float32(2.5)),
+        "i32": jnp.asarray(rng.randint(-5, 9, size=(7,)), jnp.int32),
+        "i32_count": jnp.asarray(17, jnp.int32),
+        "bf16": jnp.asarray(rng.randn(2, 3), jnp.bfloat16),
+        "nested": [jnp.arange(5, dtype=jnp.float32),
+                   {"deep": jnp.ones((2, 2, 2), jnp.float32) * np.pi}],
+        "host_np": np.arange(4, dtype=np.int64),
+        "host_scalar": 1.25,
+    }
+    got = fetch_tree(tree)
+    want = jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    assert (jax.tree_util.tree_structure(got)
+            == jax.tree_util.tree_structure(want))
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        assert np.shape(a) == np.shape(b)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_to_host_empty_and_device_free():
+    from multimodalgame_tpu.utils.checkpoint import _to_host
+    assert _to_host({}) == {}
+    out = _to_host({"a": 1, "b": np.zeros(2)})
+    assert out["a"] == 1
+    np.testing.assert_array_equal(out["b"], np.zeros(2))

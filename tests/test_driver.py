@@ -485,6 +485,64 @@ def test_deferred_best_checkpoint_matches_dev_step_params(
     assert acc == pytest.approx(logged[t_best], abs=1e-9)
 
 
+def test_deferred_periodic_save_matches_save_step_params(
+        synthetic_dataset, tmp_path, monkeypatch):
+    """The periodic checkpoint's fetch + file write are deferred past
+    further training dispatch (round-3 continuation), riding on the next
+    host-visible event like the dev-eval payload. The file must still
+    hold the parameters AS OF the save step (the device-side snapshot),
+    not the later ones — pinned by an identical run truncated at the
+    save step."""
+    import multimodalgame_tpu.game.driver as drv
+    from multimodalgame_tpu.train import run
+    from multimodalgame_tpu.utils.checkpoint import load_checkpoint
+
+    paths = synthetic_dataset
+    saved = {}
+    real_save = drv.save_checkpoint
+
+    def spy_save(path, data, params, opts, **kw):
+        if not path.endswith("_best"):
+            saved[data["step"]] = jax.tree_util.tree_map(np.asarray,
+                                                         params)
+        return real_save(path, data, params, opts, **kw)
+
+    monkeypatch.setattr(drv, "save_checkpoint", spy_save)
+    extra = ["-log_interval", "1000", "-log_dev", "1000",
+             "-save_after", "0", "-save_interval", "4",
+             "-exchange_samples", "0"]
+    f = _flags(paths, tmp_path, "dsavea", extra=extra)
+    out = run(f, max_steps=7)   # saves at steps 0 and 4; training to 7
+    assert out["step"] == 7
+    assert sorted(saved) == [0, 4]
+    # The save at step 4 has no later host-visible event before
+    # max_steps — it must still be on disk when the driver returns,
+    # holding step 4.
+    data, _, _ = load_checkpoint(
+        f.checkpoint, out["params"], out["opt_states"])
+    assert data["step"] == 4
+    assert open(f.log_file).read().count("Checkpointing.") == 2
+
+    # The snapshot differs from the final params (training continued)...
+    snap4 = saved[4]
+    final = jax.tree_util.tree_map(np.asarray, out["params"])
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(jax.tree_util.tree_leaves(snap4),
+                               jax.tree_util.tree_leaves(final)))
+
+    # ...and equals, bit-for-bit, the final params of the same run
+    # truncated at the save step (chunk boundaries coincide — the save
+    # breaks the chunk at step 4 in both — so the PRNG schedule is
+    # identical).
+    f2 = _flags(paths, tmp_path, "dsaveb", extra=extra)
+    out2 = run(f2, max_steps=5)
+    for a, b in zip(jax.tree_util.tree_leaves(snap4),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(np.asarray,
+                                               out2["params"]))):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_fast_driver_dense_boundaries(synthetic_dataset, tmp_path):
     """Stress the flattened loop where EVERY step is a log boundary and
     every other step a dev boundary (log_interval=1, log_dev=2): event
