@@ -1,0 +1,144 @@
+"""Tensor (model) parallelism over a 2-D ``(data, model)`` mesh.
+
+Data parallelism (parallel/mesh.py) is the right scale-out axis for the
+canonical game, but the big-game configurations (``python bench.py big``:
+128-bit messages, 1024/256 hidden, 1000 classes, GloVe-300, batch ≥1024
+bf16) also admit the classic Megatron sharding of their widest matmuls.
+This module provides that second mesh axis the TPU-native way: parameters
+are *placed* with ``PartitionSpec`` annotations and the train step itself
+is unchanged — XLA's SPMD partitioner derives every collective (the
+column-parallel all-gather-free forward, the row-parallel ``psum``, the
+clip-by-global-norm reduction) from the placements alone. There is no
+hand-written collective anywhere, exactly as in the data-parallel layer.
+
+Placement policy (why these leaves and not others):
+
+* **Sender MLP** — ``image_layer``/``code_layer`` (feat→h, w→h) are
+  column-parallel (output features sharded), and ``binary_layer`` (h→bits)
+  is row-parallel (contraction dim sharded, one psum): the textbook
+  two-matmul Megatron block around the sender's widest dim ``img_h_dim``
+  (1024 in the big game). Activations between them stay sharded on the
+  feature axis; no resharding in the middle.
+* **Baselines** — ``linear1`` column-parallel / ``linear2`` row-parallel
+  over ``baseline_hid_dim`` (500), the same block shape.
+* **Receiver** — replicated. Its GRU recurrence is the latency-bound
+  sequential phase (PERFORMANCE.md); sharding the hidden dim would put a
+  collective on every turn of the exchange's critical path for matmuls
+  that are tiny even in the big game (256 hidden). The scaling-book rule:
+  shard where the FLOPs are, never across a fast sequential dependency.
+
+Any dim not divisible by the model-axis size falls back to replicated for
+that leaf (mirroring ``mesh.axis_placer``'s ragged-tail rule), so every
+config runs on every mesh shape — sharding is a placement optimization,
+never a constraint.
+
+The train step is literally ``mesh.make_sharded_train_step``: batch
+sharded over ``data``, the leaves below over ``model``. Numerical
+equality with single-device execution is pinned in
+tests/test_tensor_parallel.py (fp reduction order may differ, so to the
+same tolerances as the data-parallel tests, not bit-exactness).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodalgame_tpu.game.train import AGENT_NAMES, build_optimizer
+from multimodalgame_tpu.parallel.mesh import BATCH_AXIS
+
+MODEL_AXIS = "model"
+
+# Column-parallel layers: kernel (in, out) sharded on the output dim,
+# bias sharded alike. Row-parallel layers: kernel sharded on the
+# contraction dim (XLA inserts the psum), bias replicated.
+_COLUMN_PARALLEL = ("image_layer", "code_layer", "linear1")
+_ROW_PARALLEL = ("binary_layer", "linear2")
+
+
+def make_mesh_2d(n_data: int, n_model: int,
+                 devices: Optional[list] = None) -> Mesh:
+    """A ``(data, model)`` mesh over the first ``n_data * n_model``
+    devices. Lay the model axis innermost so its psums ride the
+    fastest ICI links (nearest neighbours in the device order)."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_model
+    if len(devices) < need:
+        raise ValueError(
+            f"requested a {n_data}x{n_model} mesh but only "
+            f"{len(devices)} devices are available")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_model)
+    return Mesh(grid, (BATCH_AXIS, MODEL_AXIS))
+
+
+def tp_param_specs(params, n_model: int):
+    """The Megatron placement policy as a ``PartitionSpec`` pytree
+    matching ``params`` (see module docstring for the rationale)."""
+
+    def spec(path, leaf):
+        keys = {getattr(p, "key", None) for p in path}
+        shape = np.shape(leaf)
+        if keys & set(_COLUMN_PARALLEL):
+            if shape and shape[-1] % n_model == 0:
+                return (P(None, MODEL_AXIS) if len(shape) == 2
+                        else P(MODEL_AXIS))
+            return P()
+        if keys & set(_ROW_PARALLEL):
+            if len(shape) == 2 and shape[0] % n_model == 0:
+                return P(MODEL_AXIS, None)
+            return P()  # row-parallel bias stays replicated
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params_tp(params, mesh: Mesh, specs=None):
+    """Place a parameter tree on a 2-D mesh under the tp policy."""
+    if specs is None:
+        specs = tp_param_specs(params, mesh.shape[MODEL_AXIS])
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def _spec_for_opt_leaf(path, specs):
+    """The spec of the param an optimizer-state leaf mirrors.
+
+    optax accumulators (RMSprop ``nu``, Adam ``mu``/``nu``) are
+    ``zeros_like`` trees over the params, so an accumulator leaf's
+    dict-key path is exactly ``(agent, *param_path)`` — the namedtuple
+    hops (chain index, ``.nu``) appear as non-dict path entries. Leaves
+    that don't address a param (step counters, empty clip state) are
+    replicated.
+    """
+    node = specs
+    for p in path:
+        if not isinstance(p, jax.tree_util.DictKey):
+            continue
+        if not isinstance(node, dict) or p.key not in node:
+            return P()
+        node = node[p.key]
+    return node if isinstance(node, P) else P()
+
+
+def init_tp_opt_states(cfg, params, mesh: Mesh, specs=None):
+    """Optimizer states for already-placed parameters, with each
+    accumulator placed exactly like the parameter it mirrors (via
+    explicit ``out_shardings`` — GSPMD's default output layout choice
+    is not guaranteed to propagate the input placement)."""
+    tx = build_optimizer(cfg)
+    if specs is None:
+        specs = tp_param_specs(params, mesh.shape[MODEL_AXIS])
+
+    def init(p):
+        return {name: tx.init(p[name]) for name in AGENT_NAMES}
+
+    shapes = jax.eval_shape(init, params)
+    out_shardings = jax.tree_util.tree_map_with_path(
+        lambda path, _: NamedSharding(mesh, _spec_for_opt_leaf(path, specs)),
+        shapes)
+    return jax.jit(init, out_shardings=out_shardings)(params)
