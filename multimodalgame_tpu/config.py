@@ -135,6 +135,12 @@ def _registry() -> Dict[str, FlagDef]:
     # all-reduce over ICI); -1 = all visible devices. batch_size and
     # batch_size_dev must be divisible by the mesh size.
     define("mesh", "integer", 0)
+    # Extension: tensor (model) parallelism inside the -mesh device set
+    # (parallel/tensor.py). M > 1 splits the -mesh devices into a
+    # (data=mesh/M, model=M) grid and Megatron-shards the sender MLP and
+    # baselines over the model axis (receiver replicated). Requires
+    # -mesh, which M must divide; sized for the big-game configs.
+    define("mesh_model", "integer", 0)
     # Extension: checkpoint serialization backend (utils/checkpoint.py).
     # msgpack = one self-contained file (atomic rename); orbax = async
     # Orbax checkpoint directory whose serialization/commit overlaps
@@ -262,6 +268,10 @@ _HELP = {
     "mesh": "Data-parallel mesh size for training/serving (0 or 1 = "
             "single device, -1 = all visible devices). batch_size and "
             "batch_size_dev must be divisible by it.",
+    "mesh_model": "Tensor-parallel (model) axis size within the -mesh "
+                  "devices: splits them into a (data, model) grid and "
+                  "Megatron-shards the sender MLP and baselines. Must "
+                  "divide the -mesh size; 0 or 1 = off.",
     "population": "Member count for the population sweep driver "
                   "(python -m multimodalgame_tpu.sweep).",
     "lr_scales": "Comma-separated per-member learning-rate multipliers "

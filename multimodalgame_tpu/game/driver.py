@@ -76,22 +76,40 @@ def decompose_chunks(k: int) -> list:
 
 
 def resolve_mesh(flags, batch_fields=("batch_size", "batch_size_dev")):
-    """Build the data-parallel mesh requested by ``-mesh`` (0/1 = off,
-    N > 1 = first N devices, -1 = all devices), validating divisibility
-    of the ``batch_fields`` the caller actually shards (eval-only runs
-    pass just ``batch_size_dev``). Returns a ``jax.sharding.Mesh`` or
-    ``None``."""
+    """Build the mesh requested by ``-mesh`` (0/1 = off, N > 1 = first N
+    devices, -1 = all devices), validating divisibility of the
+    ``batch_fields`` the caller actually shards (eval-only runs pass just
+    ``batch_size_dev``). With ``-mesh_model M`` (M > 1) the N devices
+    form a 2-D ``(data=N/M, model=M)`` grid instead — batches shard over
+    the data axis only, so the batch fields must divide N/M. Returns a
+    ``jax.sharding.Mesh`` or ``None``."""
     n = int(getattr(flags, "mesh", 0) or 0)
+    m = int(getattr(flags, "mesh_model", 0) or 0)
     if n == -1:
         n = len(jax.devices())
+    if m > 1 and n <= 1:
+        raise ValueError(
+            "-mesh_model requires -mesh to resolve to more than one "
+            "device (the device set the model axis splits)")
     if n <= 1:
         return None
-    from multimodalgame_tpu.parallel.mesh import make_mesh
+    n_data = n
+    if m > 1:
+        if n % m:
+            raise ValueError(
+                f"-mesh_model {m} does not divide the -mesh size {n}")
+        n_data = n // m
     for fname in batch_fields:
         b = getattr(flags, fname)
-        if b % n:
+        if b % n_data:
             raise ValueError(
-                f"-{fname} {b} is not divisible by the -mesh size {n}")
+                f"-{fname} {b} is not divisible by the data-axis size "
+                f"{n_data} (-mesh {n}"
+                + (f" / -mesh_model {m})" if m > 1 else ")"))
+    if m > 1:
+        from multimodalgame_tpu.parallel.tensor import make_mesh_2d
+        return make_mesh_2d(n_data, m)
+    from multimodalgame_tpu.parallel.mesh import make_mesh
     return make_mesh(n)
 
 
@@ -149,10 +167,25 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         from jax.sharding import NamedSharding, PartitionSpec as P
         from multimodalgame_tpu.parallel.mesh import axis_placer
         rep = NamedSharding(mesh, P())
-        flogger.Log("Data-parallel mesh: {} devices ({})".format(
-            mesh.size, jax.devices()[0].platform))
-        params = jax.device_put(params, rep)
-        opt_states = jax.device_put(opt_states, rep)
+        if len(mesh.axis_names) > 1:
+            # 2-D (data, model): Megatron-shard the sender MLP and
+            # baselines over the model axis (parallel/tensor.py); the
+            # data-parallel placement below is otherwise unchanged.
+            from multimodalgame_tpu.parallel.tensor import (
+                MODEL_AXIS, place_opt_states_tp, shard_params_tp,
+                tp_param_specs)
+            flogger.Log(
+                "Mesh: {} devices = {} data x {} model ({})".format(
+                    mesh.size, mesh.shape["data"], mesh.shape[MODEL_AXIS],
+                    jax.devices()[0].platform))
+            specs = tp_param_specs(params, mesh.shape[MODEL_AXIS])
+            params = shard_params_tp(params, mesh, specs)
+            opt_states = place_opt_states_tp(opt_states, mesh, specs)
+        else:
+            flogger.Log("Data-parallel mesh: {} devices ({})".format(
+                mesh.size, jax.devices()[0].platform))
+            params = jax.device_put(params, rep)
+            opt_states = jax.device_put(opt_states, rep)
         desc_j = jax.device_put(desc_j, rep)
         if padded_j is not None:
             padded_j = jax.device_put(padded_j, rep)

@@ -125,6 +125,16 @@ def _spec_for_opt_leaf(path, specs):
     return node if isinstance(node, P) else P()
 
 
+def place_opt_states_tp(opt_states, mesh: Mesh, specs):
+    """Place an *existing* optimizer-state tree (e.g. resumed from a
+    checkpoint) with each accumulator sharded like the parameter it
+    mirrors — the placement counterpart of :func:`init_tp_opt_states`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(
+            x, NamedSharding(mesh, _spec_for_opt_leaf(path, specs))),
+        opt_states)
+
+
 def init_tp_opt_states(cfg, params, mesh: Mesh, specs=None):
     """Optimizer states for already-placed parameters, with each
     accumulator placed exactly like the parameter it mirrors (via

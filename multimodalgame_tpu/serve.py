@@ -163,6 +163,10 @@ def main(argv=None) -> None:
                                   flags.wv_dim, glove_path=flags.glove_path)
     mesh = None
     n_mesh = int(getattr(flags, "mesh", 0) or 0)
+    if int(getattr(flags, "mesh_model", 0) or 0) > 1:
+        raise ValueError(
+            "-mesh_model is a training-driver option; serving shards "
+            "the request batch axis only — drop -mesh_model")
     if n_mesh == -1 or n_mesh > 1:
         from multimodalgame_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(None if n_mesh == -1 else n_mesh)

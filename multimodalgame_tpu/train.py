@@ -214,12 +214,14 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
         flags.images == "cifar" and flags.attn_extra_context)
     uses_device_eval = (flags.fast_driver and flags.images == "mammal"
                         and os.environ.get("MMG_USE_PALLAS_EVAL") != "1")
-    if int(getattr(flags, "mesh", 0) or 0) not in (0, 1) and not (
+    wants_mesh = (int(getattr(flags, "mesh", 0) or 0) not in (0, 1)
+                  or int(getattr(flags, "mesh_model", 0) or 0) > 1)
+    if wants_mesh and not (
             (uses_fast_driver and not flags.eval_only
              and not flags.binary_only)
             or (flags.eval_only and uses_device_eval)):
         raise ValueError(
-            "-mesh data parallelism is implemented for the chunked "
+            "-mesh/-mesh_model parallelism is implemented for the chunked "
             "training driver (-fast_driver) and the device-sweep "
             "-eval_only path; drop -mesh or use the fast driver")
 

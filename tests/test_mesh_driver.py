@@ -109,6 +109,45 @@ def test_mesh_driver_matches_single_device(synthetic_dataset, tmp_path,
     assert body_kinds(f_one.log_file) == body_kinds(f_mesh.log_file)
 
 
+def test_tp_mesh_driver_matches_single_device(synthetic_dataset, tmp_path):
+    """`-mesh 8 -mesh_model 2` (a 4x2 data x model grid with the sender
+    MLP and baselines Megatron-sharded, parallel/tensor.py) reproduces
+    the single-device driver's accuracy stream, final parameters, and
+    log-artifact structure."""
+    from multimodalgame_tpu.train import run
+
+    paths = synthetic_dataset
+    f_one = _flags(paths, tmp_path, "tp_one")
+    f_tp = _flags(paths, tmp_path, "tp_mesh",
+                  extra=["-mesh", "8", "-mesh_model", "2"])
+
+    r_one = run(f_one, max_steps=8)
+    r_tp = run(f_tp, max_steps=8)
+
+    assert r_one["step"] == r_tp["step"] == 8
+    np.testing.assert_allclose(r_tp["batch_accuracy"],
+                               r_one["batch_accuracy"], atol=1e-6)
+    flat_one = jax.tree_util.tree_leaves_with_path(r_one["params"])
+    flat_tp = jax.tree_util.tree_leaves_with_path(r_tp["params"])
+    for (pa, a), (_, b) in zip(flat_one, flat_tp):
+        label = jax.tree_util.keystr(pa)
+        if "y2']['bias" in label:  # zero-gradient leaf; see the dp test
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5,
+            err_msg=label)
+
+    def body_kinds(path):
+        rows = [(raw, k) for raw, k, _ in _log_numbers(path)
+                if "Data-parallel mesh" not in raw
+                and "data x" not in raw]  # the tp banner
+        start = next(i for i, (raw, _) in enumerate(rows)
+                     if "Starting epoch" in raw)
+        return [k for _, k in rows[start:]]
+
+    assert body_kinds(f_one.log_file) == body_kinds(f_tp.log_file)
+
+
 def test_mesh_flag_validation(synthetic_dataset, tmp_path):
     from multimodalgame_tpu.game.driver import resolve_mesh
     from multimodalgame_tpu.train import run
@@ -123,6 +162,28 @@ def test_mesh_flag_validation(synthetic_dataset, tmp_path):
                       extra=["-mesh", "8", "-nofast_driver"])
     with pytest.raises(ValueError, match="mesh"):
         run(f_legacy, max_steps=1)
+    # -mesh_model needs -mesh, must divide it, and data-axis batch
+    # divisibility is validated against mesh/mesh_model.
+    f_nom = _flags(paths, tmp_path, "nomesh", extra=["-mesh_model", "2"])
+    with pytest.raises(ValueError, match="requires -mesh"):
+        resolve_mesh(f_nom)
+    f_nodiv = _flags(paths, tmp_path, "nodiv",
+                     extra=["-mesh", "8", "-mesh_model", "3"])
+    with pytest.raises(ValueError, match="does not divide"):
+        resolve_mesh(f_nodiv)
+    # batch 8 over a 1-data x 8-model grid: data axis 1 is fine; but a
+    # 2-data grid with batch 9 would fail — covered by the n_data check.
+    f_tp_bad = _flags(paths, tmp_path, "tpbad",
+                      extra=["-mesh", "8", "-mesh_model", "2",
+                             "-batch_size", "6"])
+    with pytest.raises(ValueError, match="data-axis"):
+        resolve_mesh(f_tp_bad)
+    # legacy driver + mesh_model alone is rejected loudly too
+    f_legacy2 = _flags(paths, tmp_path, "legacy2",
+                       extra=["-mesh", "8", "-mesh_model", "2",
+                              "-nofast_driver"])
+    with pytest.raises(ValueError, match="mesh"):
+        run(f_legacy2, max_steps=1)
 
 
 def test_sharded_dev_eval_matches_unsharded(synthetic_dataset):
