@@ -76,7 +76,8 @@ def measure_tpu_steps_per_sec(chunk_steps: int = 50,
                               num_chunks: int = 20, batch: int = 64,
                               compute_dtype: str = "float32",
                               num_classes: int = 30,
-                              **cfg_overrides) -> float:
+                              return_trials: bool = False,
+                              **cfg_overrides):
     jax = _jax_with_cache()
     from multimodalgame_tpu.game.agents import AgentModules, init_params
     from multimodalgame_tpu.game.train import (init_opt_states,
@@ -104,8 +105,9 @@ def measure_tpu_steps_per_sec(chunk_steps: int = 50,
 
     # Tunnel/chip throughput fluctuates ±15% between measurement windows;
     # report the best of three so the number reflects the device, not the
-    # draw.
-    best = float("inf")
+    # draw (the headline JSON also carries the median of every window so
+    # the artifact records its own spread — PERFORMANCE.md variance).
+    trials = []
     for trial in range(3):
         t0 = time.perf_counter()
         for i in range(num_chunks):
@@ -113,8 +115,11 @@ def measure_tpu_steps_per_sec(chunk_steps: int = 50,
                                           target, desc,
                                           keys(trial * num_chunks + i))
         float(m.loss_rec[-1])  # forces execution of the full chunk chain
-        best = min(best, time.perf_counter() - t0)
-    return num_chunks * chunk_steps / best
+        trials.append(num_chunks * chunk_steps
+                      / (time.perf_counter() - t0))
+    if return_trials:
+        return max(trials), trials
+    return max(trials)
 
 
 def measure_epoch_throughput(num_epochs: int = 60) -> dict:
@@ -438,8 +443,8 @@ def main() -> None:
     # high-dispatch-cost evening measured the link, not the chip
     # (observed 3.2k "steps/s" while the e2e path sustained 6.3k on the
     # same binary — see PERFORMANCE.md measurement-variance notes).
-    value = _retry_once(measure_tpu_steps_per_sec, chunk_steps=512,
-                        num_chunks=4)
+    value, trials = _retry_once(measure_tpu_steps_per_sec, chunk_steps=512,
+                                num_chunks=4, return_trials=True)
     baseline = load_or_measure_baseline()
     epoch = _retry_once(measure_epoch_throughput)
     if value < epoch["e2e_steps_per_sec"]:
@@ -451,14 +456,20 @@ def main() -> None:
         print("bench: hot-loop reading below e2e (tunnel slow patch); "
               "re-measuring", file=sys.stderr)
         try:
-            value = max(value, _retry_once(measure_tpu_steps_per_sec,
-                                           chunk_steps=512, num_chunks=4))
+            v2, t2 = _retry_once(measure_tpu_steps_per_sec,
+                                 chunk_steps=512, num_chunks=4,
+                                 return_trials=True)
+            value = max(value, v2)
+            trials += t2
         except Exception as e:  # noqa: BLE001 — keep the first reading
             print(f"bench: re-measure failed ({e!r}); keeping the "
                   "original reading", file=sys.stderr)
     print(json.dumps({
         "metric": "adaptive_train_steps_per_sec",
         "value": round(value, 2),
+        # Median of every measurement window this run, so the artifact
+        # shows its spread next to the best-of (VERDICT round-3 #7).
+        "value_median": round(float(np.median(trials)), 2),
         "unit": "steps/s",
         "vs_baseline": round(value / baseline, 2),
         # North-star secondary metrics: end-to-end epoch time through the

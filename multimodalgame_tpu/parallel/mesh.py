@@ -59,18 +59,26 @@ def shard_batch(tree, mesh: Mesh):
 
 
 def axis_placer(mesh: Mesh, axis: int = -1):
-    """Placement function sharding ``axis`` over the mesh when its length
-    divides the mesh size, replicating otherwise (ragged tails — e.g. a
-    truncated final dev batch). The shared helper behind the driver's
-    batch-index rows, the serving batch axis, and the dryrun sweeps."""
+    """Placement function sharding ``axis`` over the mesh's *data* axis
+    when its length divides that axis's extent, replicating otherwise
+    (ragged tails — e.g. a truncated final dev batch). The shared helper
+    behind the driver's batch-index rows, the serving batch axis, and the
+    dryrun sweeps.
+
+    The divisibility gate uses the data-axis extent, NOT ``mesh.size``:
+    on a 2-D ``(data, model)`` mesh a batch only has to divide the data
+    axis (matching ``driver.resolve_mesh``'s validation) — gating on the
+    full device count would silently replicate every batch row on any
+    config where ``batch % (data*model) != 0`` (advisor round-3 #1)."""
     rep = NamedSharding(mesh, P())
+    n_data = mesh.shape[BATCH_AXIS]
 
     def place(x):
         if x is None:
             return x
         ndim = np.ndim(x)
         ax = axis % ndim
-        if np.shape(x)[ax] % mesh.size:
+        if np.shape(x)[ax] % n_data:
             return jax.device_put(x, rep)
         spec = [None] * ndim
         spec[ax] = BATCH_AXIS

@@ -125,14 +125,64 @@ def _spec_for_opt_leaf(path, specs):
     return node if isinstance(node, P) else P()
 
 
+def _is_model_sharded(spec) -> bool:
+    return isinstance(spec, P) and any(
+        a == MODEL_AXIS or (isinstance(a, (tuple, list)) and MODEL_AXIS in a)
+        for a in spec if a is not None)
+
+
+def count_model_sharded(spec_tree) -> int:
+    """Number of leaves in a ``PartitionSpec`` tree placed (at least
+    partly) on the model axis — the visibility counter behind
+    :func:`_check_opt_placement` and the drivers' TP banner."""
+    return sum(_is_model_sharded(s) for s in jax.tree_util.tree_leaves(
+        spec_tree, is_leaf=lambda x: isinstance(x, P)))
+
+
+def _check_opt_placement(opt_states, opt_specs, specs) -> int:
+    """Guard against a *silent* replicated fallback of TP accumulators.
+
+    ``_spec_for_opt_leaf`` resolves optimizer leaves to param specs via
+    their dict-key paths; an optax component whose state dict keys do not
+    alias param names would resolve every leaf to replicated with no
+    signal (advisor round-3 #3). Invariants checked whenever any param is
+    model-sharded: (a) if the state holds matrix-shaped accumulators at
+    all, at least one resolved to a model-sharded spec; (b) each
+    accumulator tree mirrors *all* params, so the model-sharded leaf
+    count must be an exact multiple of the model-sharded param count (a
+    partially-resolving chain breaks the multiple). Returns the
+    model-sharded opt-leaf count for the caller's banner."""
+    n_par = count_model_sharded(specs)
+    n_opt = count_model_sharded(opt_specs)
+    if n_par == 0:
+        return n_opt
+    has_matrix_acc = any(
+        len(getattr(leaf, "shape", np.shape(leaf))) >= 2
+        for leaf in jax.tree_util.tree_leaves(opt_states))
+    if has_matrix_acc and n_opt == 0:
+        raise ValueError(
+            "tensor parallelism: params have {} model-sharded leaves but "
+            "no optimizer accumulator resolved to a model-sharded spec — "
+            "the optimizer state's dict keys do not alias the param tree "
+            "(see tensor._spec_for_opt_leaf)".format(n_par))
+    if n_opt % n_par:
+        raise ValueError(
+            "tensor parallelism: {} model-sharded optimizer leaves is not "
+            "a multiple of the {} model-sharded params — some accumulator "
+            "tree resolved only partially".format(n_opt, n_par))
+    return n_opt
+
+
 def place_opt_states_tp(opt_states, mesh: Mesh, specs):
     """Place an *existing* optimizer-state tree (e.g. resumed from a
     checkpoint) with each accumulator sharded like the parameter it
     mirrors — the placement counterpart of :func:`init_tp_opt_states`."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, x: jax.device_put(
-            x, NamedSharding(mesh, _spec_for_opt_leaf(path, specs))),
-        opt_states)
+    opt_specs = jax.tree_util.tree_map_with_path(
+        lambda path, _: _spec_for_opt_leaf(path, specs), opt_states)
+    _check_opt_placement(opt_states, opt_specs, specs)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        opt_states, opt_specs)
 
 
 def init_tp_opt_states(cfg, params, mesh: Mesh, specs=None):
@@ -148,7 +198,10 @@ def init_tp_opt_states(cfg, params, mesh: Mesh, specs=None):
         return {name: tx.init(p[name]) for name in AGENT_NAMES}
 
     shapes = jax.eval_shape(init, params)
-    out_shardings = jax.tree_util.tree_map_with_path(
-        lambda path, _: NamedSharding(mesh, _spec_for_opt_leaf(path, specs)),
-        shapes)
+    opt_specs = jax.tree_util.tree_map_with_path(
+        lambda path, _: _spec_for_opt_leaf(path, specs), shapes)
+    _check_opt_placement(shapes, opt_specs, specs)
+    out_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), opt_specs,
+        is_leaf=lambda x: isinstance(x, P))
     return jax.jit(init, out_shardings=out_shardings)(params)

@@ -60,7 +60,22 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
         os.makedirs(os.path.dirname(flags.log_file) or ".", exist_ok=True)
     flogger = FileLogger(flags.log_file)
     n = flags.population
+    # A population of one trains through the driver's flat-carry chunk
+    # path: the member vmap axis disables the raveled-vector carry and
+    # costs ~2x at N=1 for nothing (PERFORMANCE.md round-3; VERDICT
+    # round-3 #6). Outputs, logging, and the winner-checkpoint layout
+    # are identical to the population path.
+    flat1 = (n == 1)
     cfg = GameConfig.from_flags(flags)
+    lr_scale = parse_lr_scales(flags.lr_scales, n)
+    if flat1 and lr_scale is not None and float(lr_scale[0]) != 1.0:
+        # The learning rate enters every supported rule (SGD/Adam/
+        # RMSprop) as a final linear scale of the updates, so folding
+        # the member's lr multiplier into the configured rate is exactly
+        # the population trainer's per-member update scaling.
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, learning_rate=cfg.learning_rate * float(lr_scale[0]))
     modules = AgentModules(cfg)
 
     desc_train = load_descriptions(flags.descr_train, flags.wv_type,
@@ -87,10 +102,21 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
     dpmask_j = (jnp.asarray(desc_dev.desc_set_mask)
                 if cfg.desc_attn else None)
 
-    pop_params = init_population(modules, jax.random.PRNGKey(
-        flags.random_seed), n, num_classes=desc_train.num_classes,
-        max_words=max(desc_train.desc_set_lens))
-    pop_opts = init_population_opt_states(cfg, pop_params)
+    if flat1:
+        # Same member-0 weights as init_population would draw (it inits
+        # member i from split(key, n)[i]).
+        from multimodalgame_tpu.game.agents import init_params
+        from multimodalgame_tpu.game.train import init_opt_states
+        k0 = jax.random.split(jax.random.PRNGKey(flags.random_seed), 1)[0]
+        pop_params = init_params(modules, k0,
+                                 num_classes=desc_train.num_classes,
+                                 max_words=max(desc_train.desc_set_lens))
+        pop_opts = init_opt_states(cfg, pop_params)
+    else:
+        pop_params = init_population(modules, jax.random.PRNGKey(
+            flags.random_seed), n, num_classes=desc_train.num_classes,
+            max_words=max(desc_train.desc_set_lens))
+        pop_opts = init_population_opt_states(cfg, pop_params)
 
     # Multi-chip: shard the member axis over the device mesh (zero
     # collectives — members are independent); shared inputs replicate.
@@ -119,10 +145,15 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
         place_keys = lambda k: shard_population_keys(k, mesh)  # noqa: E731
     else:
         place_keys = lambda k: k  # noqa: E731
-    chunk = make_population_train_step(modules, flags.top_k_train,
-                                       flags.batch_size)
+    if flat1:
+        from multimodalgame_tpu.game.train import (
+            make_multistep_train_step_indexed)
+        chunk = make_multistep_train_step_indexed(
+            modules, flags.top_k_train, flags.batch_size)
+    else:
+        chunk = make_population_train_step(modules, flags.top_k_train,
+                                           flags.batch_size)
     batch_eval = make_population_eval(modules, flags.top_k_dev)
-    lr_scale = parse_lr_scales(flags.lr_scales, n)
     lr_j = None if lr_scale is None else jnp.asarray(lr_scale)
 
     def dev_accuracy(key) -> np.ndarray:
@@ -132,6 +163,10 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
             raise ValueError("dev set is empty — nothing to evaluate")
         correct = np.zeros((n,), np.int64)
         total = 0
+        # The N=1 flat path evaluates through the same population
+        # program with a unit member axis (eval is cadenced, not hot).
+        pop_view = (jax.tree_util.tree_map(lambda x: x[None], pop_params)
+                    if flat1 else pop_params)
         for row in idx:
             row = row[row >= 0]
             key, sub = jax.random.split(key)
@@ -140,7 +175,7 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
             target = jnp.take(dev_ds.targets, row_j, axis=0)
             ctx = (jnp.take(dev_ds.context, row_j, axis=0)
                    if dev_ds.context is not None else None)
-            c = batch_eval(pop_params, data, target, desc_dev_j,
+            c = batch_eval(pop_view, data, target, desc_dev_j,
                            jax.random.split(sub, n),
                            desc_set_padded=dpadded_j,
                            desc_set_mask=dpmask_j, data_context=ctx)
@@ -196,6 +231,17 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
         for size in decompose_chunks(k):
             rows = jnp.asarray(plan_buf[:size])
             plan_buf = plan_buf[size:]
+            key, sub = jax.random.split(key)
+            if flat1:
+                # The driver's indexed hot path: the gather happens
+                # inside the compiled chunk, keys derive on device.
+                pop_params, pop_opts, sm = chunk(
+                    pop_params, pop_opts, train_ds.feats,
+                    train_ds.targets, rows, desc_j, sub,
+                    feats_context=train_ds.context,
+                    desc_set_padded=padded_j, desc_set_mask=pmask_j)
+                step += size
+                continue
             data = jnp.take(train_ds.feats, rows.reshape(-1),
                             axis=0).reshape(
                 (size, flags.batch_size) + train_ds.feats.shape[1:])
@@ -208,7 +254,6 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
                     axis=0).reshape(
                     (size, flags.batch_size)
                     + train_ds.context.shape[1:])
-            key, sub = jax.random.split(key)
             pop_params, pop_opts, sm = chunk(
                 pop_params, pop_opts, data, target, desc_j,
                 place_keys(split_population_keys(sub, size, n)), lr_j,
@@ -256,8 +301,12 @@ def run_sweep(flags: Flags, max_steps: Optional[int] = None,
     # Winner checkpoint carries the member's LIVE optimizer state (like
     # the training driver's best-checkpoints) so resuming continues the
     # trajectory instead of restarting RMSprop/Adam accumulators.
-    win_params = jax.device_get(member_params(pop_params, winner))
-    win_opts = jax.device_get(member_params(pop_opts, winner))
+    if flat1:
+        win_params = jax.device_get(pop_params)
+        win_opts = jax.device_get(pop_opts)
+    else:
+        win_params = jax.device_get(member_params(pop_params, winner))
+        win_opts = jax.device_get(member_params(pop_opts, winner))
     save_checkpoint(flags.checkpoint + "_best",
                     dict(step=step, best_dev_acc=float(best[winner]),
                          final_dev_acc=float(accs[winner])),

@@ -297,14 +297,27 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
             # irrelevant to an eval-only run.
             mesh = resolve_mesh(flags, batch_fields=("batch_size_dev",))
             if mesh is not None:
-                # Sharded eval: params/dataset replicated, batch-index
-                # rows sharded — the training driver's -mesh recipe on
-                # the dev sweep alone.
+                # Sharded eval: params/dataset replicated (or, under
+                # -mesh_model, the sender/baseline leaves Megatron-
+                # sharded over the model axis — same placement policy as
+                # the training driver), batch-index rows sharded — the
+                # training driver's -mesh recipe on the dev sweep alone.
                 from multimodalgame_tpu.parallel.mesh import (axis_placer,
                                                               replicate)
-                flogger.Log("Data-parallel mesh: {} devices ({})".format(
-                    mesh.size, jax.devices()[0].platform))
-                params = replicate(params, mesh)
+                if len(mesh.axis_names) > 1:
+                    from multimodalgame_tpu.parallel.tensor import (
+                        MODEL_AXIS, shard_params_tp)
+                    flogger.Log(
+                        "Mesh: {} devices = {} data x {} model ({})"
+                        .format(mesh.size, mesh.shape["data"],
+                                mesh.shape[MODEL_AXIS],
+                                jax.devices()[0].platform))
+                    params = shard_params_tp(params, mesh)
+                else:
+                    flogger.Log(
+                        "Data-parallel mesh: {} devices ({})".format(
+                            mesh.size, jax.devices()[0].platform))
+                    params = replicate(params, mesh)
                 dev_ds.place(jax.sharding.NamedSharding(
                     mesh, jax.sharding.PartitionSpec()))
                 row_placer = axis_placer(mesh, axis=-1)

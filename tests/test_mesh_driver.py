@@ -369,3 +369,33 @@ def test_mesh_eval_only_matches_single_device(synthetic_dataset, tmp_path):
     out_odd = run(f_odd)
     assert out_odd["dev_acc"] == pytest.approx(out_single["dev_acc"],
                                                rel=1e-6)
+
+
+def test_tp_eval_only_matches_single_device(synthetic_dataset, tmp_path):
+    """-eval_only under -mesh 8 -mesh_model 2 applies the Megatron
+    placement to the dev sweep (not a silent 1-D fallback — advisor
+    round-3 #2): same statistics as single-device, 2-D banner logged."""
+    from multimodalgame_tpu.train import run
+
+    paths = synthetic_dataset
+    f_train = _flags(paths, tmp_path, "tpev",
+                     extra=["-save_after", "0", "-save_interval", "2"])
+    run(f_train, max_steps=3)
+
+    f_single = _flags(paths, tmp_path, "tpev",
+                      extra=["-eval_only", "-checkpoint",
+                             f_train.checkpoint])
+    out_single = run(f_single)
+    f_tp = _flags(paths, tmp_path, "tpev2",
+                  extra=["-eval_only", "-mesh", "8", "-mesh_model", "2",
+                         "-checkpoint", f_train.checkpoint])
+    out_tp = run(f_tp)
+    assert out_tp["dev_acc"] == pytest.approx(out_single["dev_acc"],
+                                              rel=1e-6)
+    for k in ("conversation_lengths_mean", "hamming_rec_mean",
+              "hamming_sen_mean"):
+        assert out_tp["extra"][k] == pytest.approx(
+            out_single["extra"][k], rel=1e-5)
+    log = open(f_tp.log_file).read()
+    assert "4 data x 2 model" in log
+    assert "Data-parallel mesh" not in log

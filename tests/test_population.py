@@ -265,3 +265,63 @@ def test_run_sweep_end_to_end(synthetic_dataset, tmp_path, capsys):
     data, params, opts = load_checkpoint(f.checkpoint + "_best", params,
                                          opts)
     assert data["step"] == 6
+
+
+def test_run_sweep_population_one_uses_flat_path(synthetic_dataset,
+                                                 tmp_path, capsys,
+                                                 monkeypatch):
+    """-population 1 routes through the driver's flat-carry indexed
+    chunk (VERDICT round-3 #6) — the population trainer (whose member
+    vmap axis disables the flat carry, ~2x slower at N=1) must not be
+    built — with identical outputs: member JSONL, summary schema, and a
+    single-game winner checkpoint."""
+    import multimodalgame_tpu.sweep as sweep_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("population trainer built for N=1")
+
+    monkeypatch.setattr(sweep_mod, "make_population_train_step", _boom)
+
+    paths = synthetic_dataset
+    f = make_flags()
+    argv = [
+        "-experiment_name", "sweep1", "-model_type", "Adaptive",
+        "-log_path", str(tmp_path),
+        "-batch_size", "8", "-batch_size_dev", "8",
+        "-rec_w_dim", "8", "-sender_out_dim", "8",
+        "-img_h_dim", "16", "-rec_hidden", "16", "-baseline_hid_dim", "16",
+        "-max_exchange", "3", "-max_epoch", "2",
+        "-top_k_dev", "2", "-top_k_train", "2",
+        "-descr_train", paths["descr"], "-descr_dev", paths["descr"],
+        "-train_file", paths["train"], "-dev_file", paths["dev"],
+        "-wv_dim", "16", "-glove_path", paths["glove"],
+        "-population", "1", "-lr_scales", "0.5",
+    ]
+    parse_args(f, argv)
+    finalize_flags(f, argv)
+    os.makedirs(f.log_path, exist_ok=True)
+
+    summary = run_sweep(f, max_steps=6, eval_every=3)
+    assert summary["population"] == 1
+    assert summary["steps"] == 6
+    assert summary["winner"] == 0
+    assert len(summary["members"]) == 1
+    assert summary["members"][0]["lr_scale"] == 0.5
+    assert np.isfinite(summary["members"][0]["final_dev_acc"])
+
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2  # 1 member line + summary
+
+    # Winner checkpoint loads in the standard single-game layout.
+    from multimodalgame_tpu.data.descriptions import load_descriptions
+    from multimodalgame_tpu.game.agents import init_params as ip
+    from multimodalgame_tpu.utils.checkpoint import load_checkpoint
+    cfg = GameConfig.from_flags(f)
+    mods = AgentModules(cfg)
+    pack = load_descriptions(paths["descr"], "fake", 16)
+    params = ip(mods, jax.random.PRNGKey(0), num_classes=pack.num_classes)
+    opts = init_opt_states(cfg, params)
+    data, params, opts = load_checkpoint(f.checkpoint + "_best", params,
+                                         opts)
+    assert data["step"] == 6

@@ -132,3 +132,50 @@ def test_specs_fall_back_when_not_divisible():
 def test_mesh_2d_validates_device_count():
     with pytest.raises(ValueError):
         make_mesh_2d(64, 64)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_axis_placer_gates_on_data_axis_extent():
+    """On a 2-D (data, model) mesh, axis_placer must shard a batch axis
+    that divides the DATA-axis extent even when it does not divide the
+    full device count — gating on mesh.size silently replicated every
+    batch row of e.g. a (4, 2) mesh with batch 12 (advisor round-3 #1)."""
+    from multimodalgame_tpu.parallel.mesh import BATCH_AXIS, axis_placer
+
+    mesh = make_mesh_2d(4, 2)
+    place = axis_placer(mesh, axis=-1)
+    rows = np.arange(12, dtype=np.int32)  # 12 % 8 != 0, 12 % 4 == 0
+    placed = place(rows)
+    spec = placed.sharding.spec
+    assert tuple(spec) == (BATCH_AXIS,)
+    assert placed.addressable_shards[0].data.shape == (12 // 4,)
+    # Ragged vs the data axis still replicates.
+    odd = place(np.arange(7, dtype=np.int32))
+    assert odd.addressable_shards[0].data.shape == (7,)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_opt_placement_check_catches_non_aliasing_state():
+    """An optimizer state whose dict keys do not alias the param tree
+    must FAIL placement loudly instead of silently replicating every
+    accumulator (advisor round-3 #3)."""
+    from multimodalgame_tpu.parallel.tensor import place_opt_states_tp
+
+    cfg, mods, params, *_ = _setup()
+    mesh = make_mesh_2d(2, 4)
+    specs = tp_param_specs(params, 4)
+
+    # Matrix accumulators hidden under keys that address nothing in the
+    # param tree -> every leaf would fall back to replicated.
+    bogus = {"sender": {"exp_avg_sq": {"layer0": np.zeros((32, 16),
+                                                          np.float32)}}}
+    with pytest.raises(ValueError, match="no optimizer accumulator"):
+        place_opt_states_tp(bogus, mesh, specs)
+
+    # The real optax state still places (and reports sharded leaves).
+    opts = init_opt_states(cfg, params)
+    placed = place_opt_states_tp(opts, mesh, specs)
+    nus = [x for x in jax.tree_util.tree_leaves(placed["sender"])
+           if getattr(x, "shape", None) == (32, 16)]
+    assert nus and all(
+        nu.addressable_shards[0].data.shape == (32, 4) for nu in nus)
