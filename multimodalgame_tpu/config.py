@@ -141,6 +141,14 @@ def _registry() -> Dict[str, FlagDef]:
     # baselines over the model axis (receiver replicated). Requires
     # -mesh, which M must divide; sized for the big-game configs.
     define("mesh_model", "integer", 0)
+    # Extension: multi-host (multi-process) training over DCN + ICI
+    # (parallel/distributed.py). Launch one process per host with the
+    # same flags except -process_id; requires -mesh (e.g. -mesh -1 for
+    # every device in the job). Process 0 owns the shared artifacts
+    # (checkpoints); the others write per-process log/json/csv files.
+    define("coordinator", "string", None)
+    define("num_processes", "integer", 1)
+    define("process_id", "integer", 0)
     # Extension: checkpoint serialization backend (utils/checkpoint.py).
     # msgpack = one self-contained file (atomic rename); orbax = async
     # Orbax checkpoint directory whose serialization/commit overlaps
@@ -272,6 +280,12 @@ _HELP = {
                   "devices: splits them into a (data, model) grid and "
                   "Megatron-shards the sender MLP and baselines. Must "
                   "divide the -mesh size; 0 or 1 = off.",
+    "coordinator": "Multi-host coordinator address host:port "
+                    "(jax.distributed). Set with -num_processes > 1.",
+    "num_processes": "Number of processes in a multi-host job (one per "
+                     "host); 1 = single-process.",
+    "process_id": "This process's index in a multi-host job (0-based; "
+                  "process 0 writes the shared artifacts).",
     "population": "Member count for the population sweep driver "
                   "(python -m multimodalgame_tpu.sweep).",
     "lr_scales": "Comma-separated per-member learning-rate multipliers "

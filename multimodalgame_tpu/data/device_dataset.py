@@ -98,13 +98,14 @@ class DeviceDataset:
     def place(self, sharding) -> "DeviceDataset":
         """Re-place the staged arrays with an explicit ``jax.sharding``
         (the mesh driver replicates the dataset across its data-parallel
-        mesh so device-side batch gathers stay local). In-place; returns
-        ``self`` for chaining."""
-        import jax
-        self.feats = jax.device_put(self.feats, sharding)
-        self.targets = jax.device_put(self.targets, sharding)
+        mesh so device-side batch gathers stay local; on a multi-process
+        mesh each process stages its addressable shards from its own
+        full local copy). In-place; returns ``self`` for chaining."""
+        from multimodalgame_tpu.parallel.distributed import put_global
+        self.feats = put_global(self.feats, sharding)
+        self.targets = put_global(self.targets, sharding)
         if self.context is not None:
-            self.context = jax.device_put(self.context, sharding)
+            self.context = put_global(self.context, sharding)
         return self
 
     def epoch_indices(self, epoch: int, shuffle: bool, batch_size: int,

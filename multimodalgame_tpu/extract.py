@@ -31,6 +31,21 @@ from multimodalgame_tpu.data.hdf5_loader import load_hdf5
 from multimodalgame_tpu.eval import sliced_masks
 
 
+def reference_rank(np_preds: np.ndarray, single_target: int) -> np.ndarray:
+    """The reference's per-example "Rank" column, quirks intact
+    (binary_vectors.py:99): ``np.abs(np_preds.argsort(1) - nclasses)[:,
+    single_target]``.
+
+    Note what this actually computes: ``argsort(1)[:, t]`` is the *index
+    of the t-th smallest score*, NOT the rank of class ``t`` — so "Rank"
+    is ``nclasses - (index of the target-th smallest score)``. The quirk
+    is reproduced verbatim (and pinned by a hand-computed golden in
+    tests/test_extract_fixture.py) because downstream consumers of the
+    reference's ``bv.hdf5`` see exactly these values."""
+    nclasses = np_preds.shape[1]
+    return np.abs(np_preds.argsort(1) - nclasses)[:, single_target]
+
+
 def extract_binary(flags, modules, params, eval_exchange: Callable,
                    dev_file: str, batch_size: int, epoch: int,
                    shuffle: bool, desc_pack: DescriptionPack,
@@ -126,9 +141,8 @@ def extract_binary(flags, modules, params, eval_exchange: Callable,
 
         for i_exchange in range(n):
             np_preds = ys[i_exchange]
-            nclasses = np_preds.shape[1]
             # Reference rank formula (binary_vectors.py:99), quirks intact.
-            np_rank = np.abs(np_preds.argsort(1) - nclasses)[:, single_target]
+            np_rank = reference_rank(np_preds, single_target)
 
             i_batch_idx = np.full(bsz, i_exchange, dtype=int)
 

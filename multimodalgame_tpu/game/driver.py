@@ -45,6 +45,7 @@ import numpy as np
 
 from multimodalgame_tpu.data.device_dataset import DeviceDataset
 from multimodalgame_tpu.game.fast_eval import run_device_dev_eval
+from multimodalgame_tpu.parallel.distributed import host_view
 from multimodalgame_tpu.game.logpack import LogPacker
 from multimodalgame_tpu.game.train import (make_multistep_train_step_indexed,
                                            make_train_step_indexed)
@@ -134,12 +135,15 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     cfg = modules.cfg
     ctx_key = flags.data_context if flags.attn_extra_context else None
     transform = None
+    context_fn = None
     if flags.images == "cifar":
         # Raw pixels staged as resized uint8 (lossless, 1/4 the f32 HBM
         # footprint); the Scale(227)+Normalize(.5,.5) float math runs on
         # device fused into the train step (VERDICT round-2 #9). The
-        # attn_extra_context combination streams through the legacy loop
-        # (train.py routes it there).
+        # attn_extra_context fc context is the SAME flattened pixels
+        # (model.py:1195-1206 yields fc = avgpool = flat pixels), so it
+        # derives on device from the transformed batch instead of
+        # staging a second copy (VERDICT round-3 #8).
         train_ds = DeviceDataset.from_cifar(
             image_size=CIFAR_IMAGE_SIZE)
         flat_feat = flags.img_feat != "layer4_2"
@@ -147,6 +151,12 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         def transform(x):
             x = (jnp.asarray(x, jnp.float32) / 255.0 - 0.5) / 0.5
             return x.reshape(x.shape[0], -1) if flat_feat else x
+
+        if flags.attn_extra_context:
+            # (ctx_key stays set: the dev split is an HDF5 file whose
+            # context column stages normally in dev_ds below.)
+            def context_fn(data):
+                return data.reshape(data.shape[0], -1)
     else:
         train_ds = DeviceDataset.from_hdf5(flags.train_file,
                                            flags.img_feat,
@@ -163,10 +173,17 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                if cfg.desc_attn else None)
 
     mesh = resolve_mesh(flags)
+    put_key = lambda k: k  # noqa: E731 — identity off-mesh
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from multimodalgame_tpu.parallel.mesh import axis_placer
+        from multimodalgame_tpu.parallel.mesh import axis_placer, replicate
         rep = NamedSharding(mesh, P())
+        if jax.process_count() > 1:
+            # Multi-process job: PRNG keys are derived identically on
+            # every host (same seed, same split schedule) and must enter
+            # the global programs as replicated global arrays.
+            from multimodalgame_tpu.parallel.distributed import put_global
+            put_key = lambda k: put_global(np.asarray(k), rep)  # noqa: E731
         if len(mesh.axis_names) > 1:
             # 2-D (data, model): Megatron-shard the sender MLP and
             # baselines over the model axis (parallel/tensor.py); the
@@ -184,12 +201,12 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         else:
             flogger.Log("Data-parallel mesh: {} devices ({})".format(
                 mesh.size, jax.devices()[0].platform))
-            params = jax.device_put(params, rep)
-            opt_states = jax.device_put(opt_states, rep)
-        desc_j = jax.device_put(desc_j, rep)
+            params = replicate(params, mesh)
+            opt_states = replicate(opt_states, mesh)
+        desc_j = replicate(desc_j, mesh)
         if padded_j is not None:
-            padded_j = jax.device_put(padded_j, rep)
-            pmask_j = jax.device_put(pmask_j, rep)
+            padded_j = replicate(padded_j, mesh)
+            pmask_j = replicate(pmask_j, mesh)
         train_ds.place(rep)
         dev_ds.place(rep)
         # Batch-index rows shard on their trailing (batch) axis; ragged
@@ -200,11 +217,13 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
 
     full_step = make_train_step_indexed(modules, flags.top_k_train,
                                         flags.batch_size,
-                                        transform=transform)
+                                        transform=transform,
+                                        context_fn=context_fn)
     chunk_step = make_multistep_train_step_indexed(modules,
                                                    flags.top_k_train,
                                                    flags.batch_size,
-                                                   transform=transform)
+                                                   transform=transform,
+                                                   context_fn=context_fn)
     packer = LogPacker(cfg, flags.batch_size, flags.exchange_samples)
 
     L = flags.log_interval
@@ -232,7 +251,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     def flush_acc():
         for a in pending_acc:
             batch_accuracy.extend(
-                np.asarray(a, dtype=np.float64).reshape(-1).tolist())
+                host_view(a).astype(np.float64).reshape(-1).tolist())
         pending_acc.clear()
 
     def queued_acc_count():
@@ -271,7 +290,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         # only after they return, so timed spans cover real device work,
         # then reopen it.
         flush_acc()
-        host = packer.unpack(np.asarray(payload))
+        host = packer.unpack(host_view(payload))
         if state["steps_timed"]:
             timer.stop(steps=state["steps_timed"])
             state["steps_timed"] = 0
@@ -342,7 +361,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         # finish() closes over the dispatched device payloads, keeping
         # them alive until the deferred flush fetches them.
         _, finish = run_device_dev_eval(
-            flags, modules, params, desc_dev, dev_ds, epoch, sub,
+            flags, modules, params, desc_dev, dev_ds, epoch, put_key(sub),
             row_placer=put_rows, sync=False)
         snapshot = (snap((params, opt_states))
                     if t >= flags.save_after else (None, None))
@@ -461,7 +480,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             row = put_rows(row_np)  # placed once, shared by both programs
             params, opt_states, m = full_step(
                 params, opt_states, train_ds.feats, train_ds.targets,
-                row, desc_j, sub,
+                row, desc_j, put_key(sub),
                 feats_context=train_ds.context,
                 desc_set_padded=padded_j, desc_set_mask=pmask_j)
             ex_eval = None
@@ -476,7 +495,10 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 if train_ds.context is not None:
                     kwargs["data_context"] = jnp.take(
                         train_ds.context, row, axis=0)
-                ex_eval = eval_exchange(params, data, desc_j, sub2,
+                elif context_fn is not None:
+                    kwargs["data_context"] = context_fn(data)
+                ex_eval = eval_exchange(params, data, desc_j,
+                                        put_key(sub2),
                                         desc_set_padded=padded_j,
                                         desc_set_mask=pmask_j, **kwargs)
             payload = packer.pack(m, ex_eval)
@@ -511,7 +533,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 params, opt_states, sm = chunk_step(
                     params, opt_states, train_ds.feats,
                     train_ds.targets, put_rows(rows[off:off + size]),
-                    desc_j, sub,
+                    desc_j, put_key(sub),
                     feats_context=train_ds.context,
                     desc_set_padded=padded_j, desc_set_mask=pmask_j)
                 pending_acc.append(sm.accuracy)

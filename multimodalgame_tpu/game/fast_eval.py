@@ -85,13 +85,15 @@ def _get_evaluator(modules: AgentModules, top_k: int):
                            * live[:, None, None])
                 outp = jnp.sum(ex.y * y_masks, axis=0)
             dist = jax.nn.log_softmax(outp, axis=-1)
-            # k clamped to the class count like the host/reference argsort
-            # slice (losses.topk_accuracy has the same clamp). On exactly
-            # tied scores the k-selection may pick different members than
-            # the host path's argsort — ties require bit-equal class
-            # scores (e.g. duplicate description rows).
-            _, tk = jax.lax.top_k(dist, min(top_k, dist.shape[-1]))
-            hits = jnp.sum(tk == target[:, None])
+            # Rank counting, k clamped to the class count like the
+            # host/reference argsort slice (same as losses.topk_accuracy:
+            # identical membership on tie-free scores, no TopK
+            # custom-call — partitionable on a sharded batch). Exactly
+            # tied scores require bit-equal class scores (e.g. duplicate
+            # description rows).
+            tscore = jnp.take_along_axis(dist, target[:, None], axis=-1)
+            rank = jnp.sum(dist > tscore, axis=-1)
+            hits = jnp.sum(rank < min(top_k, dist.shape[-1]))
             pred = jnp.argmax(dist, axis=-1)
 
             # Conversation lengths: per-example stop-feat sum over executed
@@ -181,8 +183,9 @@ def run_device_dev_eval(flags, modules, params, desc_pack,
         row_placer=row_placer, sync=False)
 
     def finish():
+        from multimodalgame_tpu.parallel.distributed import host_view
         dev_acc, extra, trues, preds = inner_finish(
-            [np.asarray(p) for p in payloads])
+            [host_view(p) for p in payloads])
         from sklearn.metrics import confusion_matrix
         np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
                    delimiter=",", fmt="%d")
@@ -267,4 +270,5 @@ def eval_dev_device(modules: AgentModules, params, dev_ds: DeviceDataset,
     payloads = [c[0] for c in calls]
     if not sync:
         return payloads, finish
-    return finish([np.asarray(p) for p in payloads])
+    from multimodalgame_tpu.parallel.distributed import host_view
+    return finish([host_view(p) for p in payloads])

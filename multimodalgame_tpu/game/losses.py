@@ -194,11 +194,18 @@ def topk_accuracy(dist: jnp.ndarray, target: jnp.ndarray, k: int,
     *configured* batch size (``denom``), which the reference also uses
     for truncated final eval batches (model.py:667).
 
-    Uses ``lax.top_k`` (a k-selection) rather than the reference's full
-    argsort — same membership semantics, far cheaper on TPU. ``k`` is
-    clamped to the class count like the reference's argsort slice
-    (``[:, -k:]`` on fewer than k columns keeps them all); ``lax.top_k``
-    would otherwise reject k > D at trace time."""
-    _, top_k_ind = jax.lax.top_k(dist, min(k, dist.shape[-1]))
-    hits = jnp.sum(top_k_ind == target.reshape(-1, 1))
+    Uses rank counting (target is a top-k member iff fewer than k
+    classes score strictly higher) rather than the reference's full
+    argsort or a ``lax.top_k`` selection — same membership on any
+    tie-free scores (exact ties need bit-equal class scores, i.e.
+    duplicate description rows), one broadcast-compare-reduce instead of
+    a sort, and, unlike XLA's TopK custom-call, fully partitionable: on
+    a sharded batch the metric computes shard-locally instead of forcing
+    an all-gather of the distributions (tests/test_hlo_collectives.py).
+    ``k`` is clamped to the class count like the reference's argsort
+    slice (``[:, -k:]`` on fewer than k columns keeps them all)."""
+    k_eff = min(k, dist.shape[-1])
+    tscore = jnp.take_along_axis(dist, target.reshape(-1, 1), axis=-1)
+    rank = jnp.sum(dist > tscore, axis=-1)
+    hits = jnp.sum(rank < k_eff)
     return hits / denom

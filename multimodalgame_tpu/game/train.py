@@ -411,7 +411,7 @@ def make_multistep_train_step(modules: AgentModules, top_k: int,
 
 def make_train_step_indexed(modules: AgentModules, top_k: int,
                             batch_denom: int, fast: Any = "auto",
-                            transform=None):
+                            transform=None, context_fn=None):
     """Single full-metrics train step over a *device-resident* dataset
     (data/device_dataset.py): the batch is gathered on device from the
     staged feature array by a ``(B,)`` index row, so no per-step H2D
@@ -423,7 +423,12 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
 
     ``transform`` (optional, static) maps the gathered batch before the
     game — e.g. the CIFAR path stages uint8 pixels and normalizes on
-    device, fused into the step (game/driver.py).
+    device, fused into the step (game/driver.py). ``context_fn``
+    (optional, static) derives the attention fc context from the
+    transformed batch when no separate context array is staged — the
+    CIFAR fc context is the same flattened pixels (model.py:1195-1206),
+    so staging a second copy would double the HBM footprint for data the
+    step can reshape for free.
     """
     cfg = modules.cfg
     tx = build_optimizer(cfg)
@@ -438,6 +443,8 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
             data = transform(data)
         target = targets[idx]
         ctx = feats_context[idx] if feats_context is not None else None
+        if ctx is None and context_fn is not None:
+            ctx = context_fn(data)
         grads, metrics = jax.grad(
             lambda p: loss_fn(p, data, target, desc, key, desc_set_padded,
                               desc_set_mask, ctx, top_k, batch_denom),
@@ -451,7 +458,8 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
 
 def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
                                       batch_denom: int, fast: Any = "auto",
-                                      flat: bool = True, transform=None):
+                                      flat: bool = True, transform=None,
+                                      context_fn=None):
     """Device-side K-step training loop over a device-resident dataset.
 
     Like :func:`make_multistep_train_step`, but each scan step gathers its
@@ -492,6 +500,8 @@ def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
             target = targets[b_idx]
             ctx = (feats_context[b_idx]
                    if feats_context is not None else None)
+            if ctx is None and context_fn is not None:
+                ctx = context_fn(data)
             grads, m = jax.grad(
                 lambda p: loss_fn(rebuild(p), data, target, desc, b_key,
                                   desc_set_padded, desc_set_mask, ctx,

@@ -59,6 +59,40 @@ def global_mesh():
     return make_mesh(devices=jax.devices())
 
 
+def put_global(x, sharding):
+    """``jax.device_put`` that also works when ``sharding`` spans
+    processes, PROVIDED every process holds the same full host value —
+    true throughout this framework (each process loads the same dataset
+    files, draws the same seeds, and computes the same shuffle plans), so
+    no cross-process data distribution is ever needed: each process just
+    materializes its own addressable shards by slicing its local copy."""
+    import jax
+
+    if getattr(sharding, "is_fully_addressable", True):
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def host_view(x) -> np.ndarray:
+    """``np.asarray`` for possibly-cross-process ``jax.Array``s.
+
+    Replicated global arrays read from the local shard (every device
+    holds the full value — zero communication); sharded ones all-gather
+    (a collective: every process must call this on the same arrays in
+    the same order, which holds because all processes execute the same
+    driver loop). Single-process arrays pass straight through."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def replicate_global(tree, mesh):
     """Replicate host values onto a (possibly multi-process) mesh.
 
@@ -91,6 +125,58 @@ def shard_batch_global(tree, mesh):
             sh, np.asarray(x)), tree)
 
 
+def _dryrun_setup():
+    """The shared tiny config + deterministic batch builder behind
+    :func:`dryrun_multihost` and :func:`dryrun_reference` (same seeds so
+    the multi-process run is checkable against an in-process mesh)."""
+    from multimodalgame_tpu.game.agents import AgentModules
+    from multimodalgame_tpu.game.config import GameConfig
+
+    cfg = GameConfig(
+        img_feat="avgpool_512", img_feat_dim=512, img_h_dim=32,
+        sender_out_dim=32, rec_w_dim=32, rec_hidden=16, wv_dim=100,
+        max_exchange=3, fixed_exchange=False,
+        entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
+        learning_rate=1e-4, optim_type="RMSprop")
+    num_classes = 5
+
+    def batch_of(n: int):
+        rng = np.random.RandomState(0)
+        return (rng.randn(n, 512).astype(np.float32),
+                rng.randint(0, num_classes, size=n),
+                rng.randn(num_classes, 100).astype(np.float32))
+
+    return cfg, AgentModules(cfg), num_classes, batch_of
+
+
+def dryrun_reference(global_devices: int) -> dict:
+    """The dryrun step computed in ONE process on a ``global_devices``
+    mesh with the same seeds/global batch — what the multi-process run
+    must reproduce (requires that many local devices)."""
+    import jax
+
+    from multimodalgame_tpu.game.agents import init_params
+    from multimodalgame_tpu.game.train import init_opt_states
+    from multimodalgame_tpu.parallel.mesh import (make_mesh,
+                                                  make_sharded_train_step,
+                                                  replicate, shard_batch)
+
+    cfg, modules, num_classes, batch_of = _dryrun_setup()
+    batch = 2 * global_devices
+    mesh = make_mesh(global_devices)
+    data, target, desc = batch_of(batch)
+    params = replicate(init_params(modules, jax.random.PRNGKey(0),
+                                   num_classes=num_classes), mesh)
+    opts = replicate(init_opt_states(cfg, jax.device_get(params)), mesh)
+    step = make_sharded_train_step(modules, top_k=3, batch_denom=batch,
+                                   mesh=mesh)
+    _, _, m = step(params, opts, shard_batch(data, mesh),
+                   shard_batch(target, mesh), replicate(desc, mesh),
+                   replicate(jax.random.PRNGKey(1), mesh))
+    return {"loss_rec": float(m.loss_rec), "loss_sen": float(m.loss_sen),
+            "accuracy": float(m.accuracy)}
+
+
 def dryrun_multihost(coordinator_address: str, num_processes: int,
                      process_id: int) -> dict:
     """One full data-parallel training step across processes.
@@ -105,19 +191,11 @@ def dryrun_multihost(coordinator_address: str, num_processes: int,
 
     import jax
 
-    from multimodalgame_tpu.game.agents import AgentModules, init_params
-    from multimodalgame_tpu.game.config import GameConfig
+    from multimodalgame_tpu.game.agents import init_params
     from multimodalgame_tpu.game.train import init_opt_states
     from multimodalgame_tpu.parallel.mesh import make_sharded_train_step
 
-    cfg = GameConfig(
-        img_feat="avgpool_512", img_feat_dim=512, img_h_dim=32,
-        sender_out_dim=32, rec_w_dim=32, rec_hidden=16, wv_dim=100,
-        max_exchange=3, fixed_exchange=False,
-        entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
-        learning_rate=1e-4, optim_type="RMSprop")
-    modules = AgentModules(cfg)
-    num_classes = 5
+    cfg, modules, num_classes, batch_of = _dryrun_setup()
     n_devices = jax.device_count()
     per_device = 2
     batch = per_device * n_devices
@@ -128,10 +206,7 @@ def dryrun_multihost(coordinator_address: str, num_processes: int,
     opt_states = init_opt_states(cfg, params)
 
     # Deterministic global batch; every process slices out its rows.
-    rng = np.random.RandomState(0)
-    data = rng.randn(batch, 512).astype(np.float32)
-    target = rng.randint(0, num_classes, size=batch)
-    desc = rng.randn(num_classes, 100).astype(np.float32)
+    data, target, desc = batch_of(batch)
 
     rows_per_proc = batch // num_processes
     lo = process_id * rows_per_proc

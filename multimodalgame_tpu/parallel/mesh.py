@@ -48,14 +48,25 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (BATCH_AXIS,))
 
 
+def _put(tree, sharding):
+    """Whole-tree ``device_put`` (batched transfers) on single-process
+    meshes; per-leaf :func:`distributed.put_global` on meshes spanning
+    processes (each process materializes its addressable shards from its
+    local copy of the same host value)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(tree, sharding)
+    from multimodalgame_tpu.parallel.distributed import put_global
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree fully replicated on the mesh."""
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    return _put(tree, NamedSharding(mesh, P()))
 
 
 def shard_batch(tree, mesh: Mesh):
     """Shard every leaf's leading (batch) axis across the mesh."""
-    return jax.device_put(tree, NamedSharding(mesh, P(BATCH_AXIS)))
+    return _put(tree, NamedSharding(mesh, P(BATCH_AXIS)))
 
 
 def axis_placer(mesh: Mesh, axis: int = -1):
@@ -79,10 +90,10 @@ def axis_placer(mesh: Mesh, axis: int = -1):
         ndim = np.ndim(x)
         ax = axis % ndim
         if np.shape(x)[ax] % n_data:
-            return jax.device_put(x, rep)
+            return _put(x, rep)
         spec = [None] * ndim
         spec[ax] = BATCH_AXIS
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return _put(x, NamedSharding(mesh, P(*spec)))
 
     return place
 

@@ -168,10 +168,12 @@ def make_population_eval(modules: AgentModules, top_k: int):
                  else assemble_loss_masks(ex.stop_masks))
         outp, _ = get_rec_outp(ex.y, None if masks is None else masks.y)
         dist = jax.nn.log_softmax(outp, axis=-1)
-        # k clamped to the class count like the host/reference argsort
-        # slice (same clamp as losses.topk_accuracy and fast_eval.py).
-        _, top_ind = jax.lax.top_k(dist, min(top_k, dist.shape[-1]))
-        hit = jnp.any(top_ind == target[:, None], axis=-1)
+        # Rank counting, k clamped to the class count (same semantics
+        # and rationale as losses.topk_accuracy: no TopK custom-call, so
+        # the member-sharded eval stays collective-free).
+        tscore = jnp.take_along_axis(dist, target[:, None], axis=-1)
+        rank = jnp.sum(dist > tscore, axis=-1)
+        hit = rank < min(top_k, dist.shape[-1])
         return jnp.sum(hit.astype(jnp.int32))
 
     @jax.jit

@@ -182,6 +182,39 @@ def _load_desc_pack(flags: Flags, descr_path: str) -> DescriptionPack:
 
 def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     """Train (or eval/extract, per flags). Returns a summary dict."""
+    # Multi-host: join the job before anything touches devices. Every
+    # process runs this same driver code (they must — the SPMD programs
+    # need all processes to dispatch the same computations in the same
+    # order); process 0 owns the shared artifacts (checkpoint writes are
+    # gated inside utils/checkpoint.py), the others write their
+    # host-side logs to per-process paths.
+    nproc = int(getattr(flags, "num_processes", 1) or 1)
+    if nproc > 1:
+        # Validate BEFORE joining the job — a bad flag must fail fast,
+        # not hang on the coordinator handshake.
+        if not flags.coordinator:
+            raise ValueError(
+                "-num_processes > 1 requires -coordinator host:port")
+        if int(getattr(flags, "mesh", 0) or 0) in (0, 1):
+            raise ValueError(
+                "-num_processes > 1 requires -mesh (e.g. -mesh -1 for "
+                "every device in the job)")
+        if int(getattr(flags, "mesh_model", 0) or 0) > 1:
+            raise ValueError(
+                "-mesh_model is single-process for now: multi-host runs "
+                "keep parameters replicated (drop -mesh_model or "
+                "-num_processes)")
+        # is_initialized, NOT process_count(): querying the process count
+        # initializes the local backend, after which joining the job is
+        # impossible.
+        if not jax.distributed.is_initialized():
+            from multimodalgame_tpu.parallel.distributed import initialize
+            initialize(flags.coordinator, nproc, flags.process_id)
+        if jax.process_index() != 0:
+            suffix = ".p%d" % jax.process_index()
+            for attr in ("log_file", "json_file", "eval_csv_file",
+                         "conf_mat"):
+                setattr(flags, attr, getattr(flags, attr) + suffix)
     # The first Log() appends to flags.log_file — create its directory
     # up front so a fresh checkout with the default -log_path ./logs
     # doesn't die on FileNotFoundError before training starts.
@@ -210,8 +243,7 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     cfg = GameConfig.from_flags(flags)
     modules = AgentModules(cfg)
 
-    uses_fast_driver = flags.fast_driver and not (
-        flags.images == "cifar" and flags.attn_extra_context)
+    uses_fast_driver = flags.fast_driver
     uses_device_eval = (flags.fast_driver and flags.images == "mammal"
                         and os.environ.get("MMG_USE_PALLAS_EVAL") != "1")
     wants_mesh = (int(getattr(flags, "mesh", 0) or 0) not in (0, 1)
@@ -349,11 +381,10 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
 
     # The chunked device-side driver (game/driver.py) is the product hot
     # path: dataset staged in HBM (CIFAR: resized uint8 pixels,
-    # normalized on device), whole log windows compiled as one program,
-    # one host transfer per log boundary. The legacy per-batch loop
-    # below remains for -nofast_driver and the CIFAR+attn_extra_context
-    # combination (streaming loader; the fc context there is the same
-    # flattened pixels, not worth a second staged copy).
+    # normalized on device, with the attn fc context derived on device
+    # from the same staged pixels), whole log windows compiled as one
+    # program, one host transfer per log boundary. The legacy per-batch
+    # loop below remains for -nofast_driver only.
     if uses_fast_driver:
         from multimodalgame_tpu.game.driver import run_fast
         summary = run_fast(flags, modules, params, opt_states, desc_train,

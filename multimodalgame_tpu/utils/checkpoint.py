@@ -44,12 +44,27 @@ import numpy as np
 from flax import serialization
 
 
+def _local_leaf(x):
+    """Reduce a cross-process array to a locally-fetchable one. Only
+    replicated leaves are supported (the multi-host driver replicates
+    params/optimizer state; cross-process *sharded* checkpointing would
+    need a collective gather and is rejected loudly)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if not x.sharding.is_fully_replicated:
+            raise ValueError(
+                "cannot checkpoint a cross-process *sharded* array "
+                "(shape %s, sharding %s); multi-host runs keep "
+                "params/optimizer state replicated" % (x.shape, x.sharding))
+        return x.addressable_data(0)
+    return x
+
+
 def _to_host(tree):
     # jax.device_get, not tree_map(np.asarray): device_get issues
     # copy_to_host_async on every leaf before materializing, so the
     # ~60-100 leaf transfers (4 models + 4 optimizers) pipeline through
     # the link instead of each paying a blocking ~30 ms round trip.
-    return jax.device_get(tree)
+    return jax.device_get(jax.tree_util.tree_map(_local_leaf, tree))
 
 
 def _payload(data, params, opt_states) -> Dict[str, Any]:
@@ -65,7 +80,14 @@ def save_checkpoint(filename: str, data: Dict[str, Any],
                     fmt: str = "msgpack") -> None:
     """Write ``{data, models, optimizers}`` to ``filename`` in ``fmt``
     (``msgpack``: one file, atomic rename so a crash can't truncate an
-    existing checkpoint; ``orbax``: async checkpoint directory)."""
+    existing checkpoint; ``orbax``: async checkpoint directory).
+
+    In a multi-process job only process 0 writes (the driver keeps
+    params/optimizer state replicated, so its copy is the global state);
+    other processes return immediately — they still dispatched the same
+    device snapshot, keeping program order identical across processes."""
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     if fmt == "orbax":
         if os.path.isfile(filename):
             raise ValueError(
@@ -98,6 +120,7 @@ def load_checkpoint(filename: str, params: Dict[str, Any],
     is msgpack."""
     filename = os.path.expanduser(filename)
     wait_for_checkpoints()  # a just-dispatched async save must commit
+    recover_orbax(filename)  # repair a crash-interrupted staging swap
     if os.path.isdir(filename):
         payload = _restore_orbax(filename)
     elif os.path.exists(filename):
@@ -153,7 +176,48 @@ def wait_for_checkpoints() -> None:
             shutil.rmtree(old)
 
 
+def recover_orbax(dirname: str) -> None:
+    """Repair on-disk state left by a process that died at ANY point of
+    the async-save staging/swap protocol, so a loadable checkpoint
+    survives every crash window (VERDICT round-3 #9):
+
+    * crash mid-serialization — orbax writes into a
+      ``*.orbax-checkpoint-tmp-*`` sibling and renames it to
+      ``.staging`` only on a complete commit, so a partial save never
+      masquerades as a checkpoint; the previous checkpoint at the final
+      path is untouched. Nothing to repair (tmp garbage is swept by the
+      next save).
+    * crash after commit, before the swap — ``.staging`` exists and is a
+      full checkpoint NEWER than the final path: finish the interrupted
+      swap (same rename sequence as :func:`wait_for_checkpoints`).
+    * crash between the swap's two renames — the final path is missing,
+      ``.staging`` (new) still present: the same branch re-runs the
+      swap to completion.
+    * crash after the swap, before the ``.old`` cleanup — the final path
+      is live; the stale ``.old`` is swept here.
+
+    Idempotent and cheap (a few ``stat`` calls when nothing crashed);
+    called by :func:`load_checkpoint` so auto-resume self-heals."""
+    import shutil
+    final = os.path.abspath(os.path.expanduser(dirname))
+    staging, old = final + ".staging", final + ".old"
+    if os.path.isdir(staging):
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(staging, final)
+    if os.path.isdir(old) and os.path.exists(final):
+        shutil.rmtree(old)
+    elif os.path.isdir(old):
+        # Unreachable via the protocol itself (staging moves last), but
+        # a lone .old with no live checkpoint is still a full one:
+        # restore it rather than lose it.
+        os.rename(old, final)
+
+
 def _save_orbax(dirname: str, payload: Dict[str, Any]) -> None:
+    import glob
     import shutil
 
     import orbax.checkpoint as ocp
@@ -162,8 +226,12 @@ def _save_orbax(dirname: str, payload: Dict[str, Any]) -> None:
     # and its staging directory must be swapped away before reuse.
     wait_for_checkpoints()
     staging = os.path.abspath(dirname) + ".staging"
-    if os.path.exists(staging):  # leftover from a crashed run
+    if os.path.exists(staging):  # leftover from a crashed, un-resumed run
         shutil.rmtree(staging)
+    # Sweep partial-serialization garbage from a crashed run (orbax's
+    # atomic-rename tmp dirs for the staging target).
+    for tmp in glob.glob(staging + ".orbax-checkpoint-tmp-*"):
+        shutil.rmtree(tmp, ignore_errors=True)
     ckptr.save(staging, args=ocp.args.PyTreeSave(payload))
     _PENDING_SWAPS.append((staging, os.path.abspath(dirname)))
 

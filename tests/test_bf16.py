@@ -11,6 +11,8 @@ from multimodalgame_tpu.game.config import GameConfig
 from multimodalgame_tpu.game.train import (compute_losses, init_opt_states,
                                            make_train_step)
 
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
 BASE = dict(img_feat_dim=32, img_h_dim=16, sender_out_dim=8, rec_w_dim=8,
             rec_hidden=16, wv_dim=12, max_exchange=3, baseline_hid_dim=16,
             fixed_exchange=False, entropy_s=0.08, entropy_sen=0.01,

@@ -138,6 +138,83 @@ def test_orbax_overwrite_and_unknown_fmt(tmp_path):
                         fmt="pickle")
 
 
+def test_orbax_crash_recovery_every_stage(tmp_path):
+    """Fault injection for the async staging/swap protocol (VERDICT
+    round-3 #9): simulate a process death at every stage and assert a
+    loadable checkpoint — holding the newest *committed* payload —
+    survives each one, via load_checkpoint's self-healing recovery.
+
+    Stages (utils/checkpoint.py:_save_orbax/wait_for_checkpoints):
+    A. mid-serialization (orbax tmp dir present, staging never renamed)
+    B. after the async commit, before the swap ran
+    C. between the swap's two renames (final path missing!)
+    D. after the swap, before the ``.old`` cleanup
+    E. pathological lone ``.old`` (manual interference)"""
+    import os
+    import shutil
+
+    pytest.importorskip("orbax.checkpoint")
+    import multimodalgame_tpu.utils.checkpoint as C
+    cfg, mods, params, opts = _setup()
+    path = str(tmp_path / "ckpt.orbax")
+
+    def save(step):
+        save_checkpoint(path, dict(step=step, best_dev_acc=0.0),
+                        params, opts, fmt="orbax")
+
+    def load_step():
+        data, _, _ = load_checkpoint(path, params, opts)
+        return data["step"]
+
+    save(1)
+    C.wait_for_checkpoints()
+    assert load_step() == 1
+
+    # A: partial-serialization garbage; v1 intact, trash swept by the
+    # next save dispatch.
+    trash = path + ".staging.orbax-checkpoint-tmp-12345"
+    os.makedirs(trash)
+    with open(os.path.join(trash, "junk"), "w") as fh:
+        fh.write("partial")
+    assert load_step() == 1
+    save(2)
+    assert not os.path.exists(trash)
+    C.wait_for_checkpoints()
+    assert load_step() == 2
+
+    # B: staging holds committed v3, final still v2; process death =
+    # losing the in-memory pending-swap list.
+    save(3)
+    C._ORBAX.wait_until_finished()
+    assert os.path.isdir(path + ".staging")
+    C._PENDING_SWAPS.clear()
+    assert load_step() == 3
+    assert not os.path.exists(path + ".staging")
+
+    # C: the swap's first rename ran (final moved to .old), the second
+    # didn't — NOTHING at the final path, staging holds committed v4.
+    save(4)
+    C._ORBAX.wait_until_finished()
+    C._PENDING_SWAPS.clear()
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+    assert load_step() == 4
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".staging")
+
+    # D: swap completed but the stale .old cleanup didn't run.
+    save(5)
+    C.wait_for_checkpoints()
+    shutil.copytree(path, path + ".old")
+    assert load_step() == 5
+    assert not os.path.exists(path + ".old")
+
+    # E: lone .old with no live checkpoint — restored, not lost.
+    os.rename(path, path + ".old")
+    assert load_step() == 5
+    assert not os.path.exists(path + ".old")
+
+
 def test_checkpoint_format_mismatch_fails_fast(tmp_path):
     """Writing one format over the other's artifact is an actionable
     error, not a corruption or an opaque OS error."""

@@ -12,6 +12,9 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

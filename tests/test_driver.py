@@ -18,9 +18,12 @@ from multimodalgame_tpu.game.agents import AgentModules, init_params
 from multimodalgame_tpu.game.config import GameConfig
 from multimodalgame_tpu.game.driver import decompose_chunks
 from multimodalgame_tpu.game.train import (init_opt_states,
+
                                            make_eval_exchange,
                                            make_multistep_train_step_indexed,
                                            make_train_step_indexed)
+
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
 
 
 def test_decompose_chunks():

@@ -11,6 +11,9 @@ import pytest
 from multimodalgame_tpu.config import finalize_flags, make_flags, parse_args
 from multimodalgame_tpu.train import run
 
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
+
 
 def _flags(paths, tmp_path, extra=()):
     f = make_flags()

@@ -176,6 +176,7 @@ def test_corrupt_mask_flips_bits():
                                   np.asarray(mask) > 0)
 
 
+@pytest.mark.slow
 def test_gradient_isolation():
     """The four agents' losses must only produce gradients for their own
     parameter trees — the reference's four-separate-graphs semantics

@@ -14,6 +14,9 @@ from multimodalgame_tpu.game.fast_train import (compute_losses_fast,
                                                 supports_fast)
 from multimodalgame_tpu.game.train import compute_losses
 
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
+
 B, D, FEAT, W, HID, WV, T = 6, 5, 32, 8, 16, 12, 4
 
 

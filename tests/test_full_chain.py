@@ -11,6 +11,9 @@ import h5py
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
+
 TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 sys.path.insert(0, os.path.abspath(TOOLS))
 

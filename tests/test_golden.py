@@ -24,6 +24,10 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_trace.json")
 GOLDEN_TPU_PATH = os.path.join(os.path.dirname(__file__),

@@ -13,6 +13,8 @@ import pytest
 
 from multimodalgame_tpu.config import finalize_flags, make_flags, parse_args
 
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
 N_DEV = 8
 
 

@@ -1,0 +1,204 @@
+"""Multi-host product driver (VERDICT round-3 #1): the chunked CLI
+training driver running across 2 CPU processes (4 virtual devices each —
+an 8-device global mesh over gloo collectives) must reproduce the
+single-process ``-mesh 8`` run: same final checkpoint parameters, same
+log artifacts, through several log/dev/save windows including the
+deferred-payload, dev-sweep, and device-snapshot checkpoint paths."""
+
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env(n_local: int) -> dict:
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Hermetic CPU workers (CLAUDE.md): never boot a TPU client.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
+def _base_argv(paths, log_path):
+    return [
+        "-experiment_name", "mh", "-model_type", "Adaptive",
+        "-log_path", log_path,
+        "-batch_size", "8", "-batch_size_dev", "8",
+        "-rec_w_dim", "8", "-sender_out_dim", "8",
+        "-img_h_dim", "16", "-rec_hidden", "16", "-baseline_hid_dim", "16",
+        "-max_exchange", "3", "-max_epoch", "2",
+        "-top_k_dev", "2", "-top_k_train", "2",
+        "-descr_train", paths["descr"], "-descr_dev", paths["descr"],
+        "-train_file", paths["train"], "-dev_file", paths["dev"],
+        "-wv_dim", "16", "-glove_path", paths["glove"],
+        # 12 steps (2 epochs x 6 batches): log at 0/4/8, dev at 0/6,
+        # periodic device-snapshot save at 11 (the final step), sparkline
+        # payloads on.
+        "-log_interval", "4", "-log_dev", "6",
+        "-save_after", "1", "-save_interval", "11",
+        "-exchange_samples", "1",
+        "-mesh", "8",
+    ]
+
+
+@pytest.fixture(scope="module")
+def multihost_run(synthetic_dataset, tmp_path_factory):
+    root = tmp_path_factory.mktemp("mh")
+    log_path = str(root / "mh2")
+    os.makedirs(log_path, exist_ok=True)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "multimodalgame_tpu"]
+            + _base_argv(synthetic_dataset, log_path)
+            + ["-coordinator", f"127.0.0.1:{port}",
+               "-num_processes", "2", "-process_id", str(i)],
+            env=_worker_env(4), cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    errs = []
+    try:
+        for p in procs:
+            _, stderr = p.communicate(timeout=900)
+            errs.append(stderr)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, stderr in zip(procs, errs):
+        assert p.returncode == 0, f"worker failed:\n{stderr[-4000:]}"
+    return log_path
+
+
+def _log_body(path):
+    """(line-kind, numeric values) pairs from 'Starting epoch: 0' on,
+    timestamps stripped — the comparable artifact stream (mesh banner
+    excluded: it names the platform). Same normalization as
+    test_mesh_driver._log_numbers."""
+    rows = []
+    for ln in open(path).read().splitlines():
+        if "Data-parallel mesh" in ln:
+            continue
+        msg = ln.split(": ", 1)[-1]
+        kind = re.sub(r"[-+]?\d+\.?\d*(e[-+]?\d+)?", "#", msg)
+        # Wall-clock timing lines are run-specific by nature: compare
+        # their structure (kind) but not their values.
+        vals = ([] if "step timing" in ln else
+                [float(v) for v in re.findall(
+                    r"[-+]?\d+\.\d+(?:e[-+]?\d+)?", msg)])
+        rows.append((ln, kind, vals))
+    start = next(i for i, (raw, _, _) in enumerate(rows)
+                 if "Starting epoch" in raw)
+    return [(k, v) for _, k, v in rows[start:]]
+
+
+def test_multihost_matches_single_process(multihost_run, synthetic_dataset,
+                                          tmp_path):
+    """Final checkpoint parameters and the full log-artifact stream of
+    the 2-process run match a single-process -mesh 8 run of the same
+    config (up to cross-process psum reassociation)."""
+    import jax
+
+    from multimodalgame_tpu.config import (finalize_flags, make_flags,
+                                           parse_args)
+    from multimodalgame_tpu.data.descriptions import load_descriptions
+    from multimodalgame_tpu.game.agents import AgentModules, init_params
+    from multimodalgame_tpu.game.config import GameConfig
+    from multimodalgame_tpu.game.train import init_opt_states
+    from multimodalgame_tpu.train import run
+    from multimodalgame_tpu.utils.checkpoint import load_checkpoint
+
+    # Single-process reference with the same flags (own artifact dir).
+    argv = _base_argv(synthetic_dataset, str(tmp_path / "one"))
+    f_one = make_flags()
+    parse_args(f_one, argv)
+    finalize_flags(f_one, argv)
+    os.makedirs(f_one.log_path, exist_ok=True)
+    r_one = run(f_one)
+    assert r_one["step"] == 12
+
+    # Load both step-11 periodic checkpoints (written after the final
+    # optimizer update; process 0 owns the multi-host file).
+    f_mh = make_flags()
+    argv_mh = _base_argv(synthetic_dataset, multihost_run)
+    parse_args(f_mh, argv_mh)
+    finalize_flags(f_mh, argv_mh)
+    cfg = GameConfig.from_flags(f_mh)
+    mods = AgentModules(cfg)
+    pack = load_descriptions(synthetic_dataset["descr"], "fake", 16)
+    template_p = init_params(mods, jax.random.PRNGKey(0),
+                             num_classes=pack.num_classes)
+    template_o = init_opt_states(cfg, template_p)
+    data_mh, p_mh, _ = load_checkpoint(f_mh.checkpoint, template_p,
+                                       template_o)
+    data_one, p_one, _ = load_checkpoint(f_one.checkpoint, template_p,
+                                         template_o)
+    assert data_mh["step"] == data_one["step"] == 11
+
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_one),
+            jax.tree_util.tree_leaves_with_path(p_mh)):
+        label = jax.tree_util.keystr(pa)
+        if "y2']['bias" in label:  # zero-gradient noise walk (mesh tests)
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5, err_msg=label)
+
+    # Log artifacts: process 0's stream matches the single-process run
+    # line-kind-for-line-kind with near-identical numbers; process 1
+    # produced the identical stream to its own file.
+    body_one = _log_body(f_one.log_file)
+    body_p0 = _log_body(f_mh.log_file)
+    body_p1 = _log_body(f_mh.log_file + ".p1")
+    assert [k for k, _ in body_p0] == [k for k, _ in body_one]
+    assert body_p1 == body_p0
+    for (k, va), (_, vb) in zip(body_p0, body_one):
+        assert len(va) == len(vb), k
+        np.testing.assert_allclose(va, vb, rtol=2e-2, atol=2e-3,
+                                   err_msg=k)
+
+    # The best checkpoint exists and only process 0 wrote artifacts
+    # other than the per-process logs.
+    assert os.path.exists(f_mh.checkpoint + "_best")
+    assert os.path.exists(f_mh.log_file + ".p1")
+    assert not os.path.exists(f_mh.checkpoint + ".p1")
+
+
+def test_multihost_flag_validation(synthetic_dataset, tmp_path):
+    from multimodalgame_tpu.config import (finalize_flags, make_flags,
+                                           parse_args)
+    from multimodalgame_tpu.train import run
+
+    def flags_for(extra):
+        argv = _base_argv(synthetic_dataset, str(tmp_path / "v"))
+        argv = [a for a in argv]  # copy
+        f = make_flags()
+        parse_args(f, argv + extra)
+        finalize_flags(f, argv + extra)
+        return f
+
+    with pytest.raises(ValueError, match="coordinator"):
+        run(flags_for(["-num_processes", "2"]))
+    with pytest.raises(ValueError, match="mesh_model is single-process"):
+        run(flags_for(["-num_processes", "2", "-coordinator", "x:1",
+                       "-mesh_model", "2"]))

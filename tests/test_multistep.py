@@ -9,6 +9,9 @@ from multimodalgame_tpu.game.config import GameConfig
 from multimodalgame_tpu.game.train import (init_opt_states,
                                            make_multistep_train_step,
                                            make_train_step)
+import pytest
+
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
 
 K, B, D = 3, 4, 4
 

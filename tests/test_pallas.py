@@ -15,7 +15,10 @@ from multimodalgame_tpu.game.config import GameConfig
 from multimodalgame_tpu.game.exchange import exchange
 from multimodalgame_tpu.game.masks import build_mask
 from multimodalgame_tpu.ops.pallas_exchange import (fused_eval_exchange,
+
                                                     supports_config)
+
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
 
 B, D, FEAT, W, HID, WV, T = 8, 5, 64, 16, 32, 24, 4
 

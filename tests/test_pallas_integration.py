@@ -9,6 +9,10 @@ import numpy as np
 from multimodalgame_tpu.game.agents import AgentModules, init_params
 from multimodalgame_tpu.game.config import GameConfig
 from multimodalgame_tpu.game.train import make_eval_exchange
+import pytest
+
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
 
 
 def test_eval_exchange_pallas_vs_scan(monkeypatch):

@@ -78,6 +78,7 @@ def test_mesh_validates_device_count():
         make_mesh(10_000)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

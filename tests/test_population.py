@@ -19,6 +19,9 @@ from multimodalgame_tpu.parallel.population import (
     make_population_train_step, member_params, split_population_keys)
 from multimodalgame_tpu.sweep import parse_lr_scales, run_sweep
 
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
+
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -32,9 +32,12 @@ from multimodalgame_tpu.game.train import (compute_losses, init_opt_states,
 from multimodalgame_tpu.utils.torch_interop import params_to_torch_state
 
 from tests.torch_oracle import (OracleBaseline, OracleReceiver, OracleSender,
+
                                 build_torch_optimizers, optax_style_clip_,
                                 oracle_apply_updates, oracle_losses,
                                 oracle_train_exchange)
+
+pytestmark = pytest.mark.slow  # see pytest.ini: `-m "not slow"` is the fast subset
 
 BASE = dict(img_feat_dim=24, img_h_dim=12, sender_out_dim=10, rec_w_dim=10,
             rec_hidden=14, wv_dim=16, max_exchange=4, baseline_hid_dim=12,
