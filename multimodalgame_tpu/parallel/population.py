@@ -27,8 +27,8 @@ import optax
 
 from multimodalgame_tpu.game.agents import AgentModules, init_params
 from multimodalgame_tpu.game.train import (AGENT_NAMES, ScanMetrics,
-                                           _loss_fn_for, build_optimizer,
-                                           init_opt_states)
+                                           _loss_fn_for, _opt_state_codec,
+                                           build_optimizer, init_opt_states)
 
 
 def init_population(modules: AgentModules, key: jax.Array, n: int,
@@ -59,7 +59,8 @@ def split_population_keys(key: jax.Array, k: int, n: int) -> jax.Array:
 
 
 def make_population_train_step(modules: AgentModules, top_k: int,
-                               batch_denom: int, fast: Any = "auto"):
+                               batch_denom: int, fast: Any = "auto",
+                               flat: bool = True):
     """Build the jitted population chunk trainer.
 
     Returns ``chunk(pop_params, pop_opts, data (K,B,...), target (K,B),
@@ -70,6 +71,20 @@ def make_population_train_step(modules: AgentModules, top_k: int,
     enters every supported rule — SGD/Adam/RMSprop — as a final linear
     scale), turning the seed sweep into a joint seed × learning-rate
     sweep at zero extra compute.
+
+    ``flat=True`` (default) carries each trained agent's population
+    parameters (and the param-structured optimizer slots) through the
+    scan as one ``(N, P)`` matrix instead of N-stacked trees — the same
+    flat-carry trick as the single-game chunk (game/train.py:_flat_carry)
+    lifted over the member axis, so the per-step optimizer update is a
+    handful of large fused ``(N, P)`` ops rather than ~6 tiny kernels ×
+    every leaf × N. Numerics differ only by the float reassociation
+    inside ``clip_by_global_norm``'s sum of squares (one fused reduction
+    per member instead of a per-leaf partial-sum tree). The external
+    stacked-tree API is unchanged (conversion happens once per chunk),
+    and the member axis stays the leading axis of every carried array,
+    so population sharding (``shard_population``) still needs zero
+    collectives.
     """
     cfg = modules.cfg
     tx = build_optimizer(cfg)
@@ -103,6 +118,11 @@ def make_population_train_step(modules: AgentModules, top_k: int,
         scale = (jnp.ones((n,), jnp.float32) if lr_scale is None
                  else jnp.asarray(lr_scale, jnp.float32))
 
+        if flat:
+            return _flat_chunk(pop_params, pop_opts, data, target, desc,
+                               keys, scale, desc_set_padded, desc_set_mask,
+                               data_context)
+
         def body(carry, xs):
             pp, po = carry
             b_data, b_target, b_keys, b_ctx = xs
@@ -118,6 +138,68 @@ def make_population_train_step(modules: AgentModules, top_k: int,
             body, (pop_params, pop_opts),
             (data, target, keys, data_context))
         return pp, po, metrics
+
+    def _flat_chunk(pop_params, pop_opts, data, target, desc, keys, scale,
+                    desc_set_padded, desc_set_mask, data_context):
+        from jax.flatten_util import ravel_pytree
+
+        # Codecs are structure-only, built from member-0 slices (every
+        # member shares the tree layout); safe on tracers.
+        member0_p = jax.tree_util.tree_map(lambda x: x[0], pop_params)
+        unravel, codecs, flat_p, flat_s = {}, {}, {}, {}
+        for name in update_names:
+            _, unravel[name] = ravel_pytree(member0_p[name])
+            flat_p[name] = jax.vmap(lambda p: ravel_pytree(p)[0])(
+                pop_params[name])
+            member0_s = jax.tree_util.tree_map(lambda x: x[0],
+                                               pop_opts[name])
+            codecs[name] = _opt_state_codec(member0_s, member0_p[name])
+            flat_s[name] = jax.vmap(codecs[name][0])(pop_opts[name])
+        static = {n: pop_params[n] for n in pop_params
+                  if n not in update_names}
+
+        def member_update_flat(fp, fs, static_m, data, target, desc, key,
+                               scale, desc_set_padded, desc_set_mask,
+                               data_context):
+            def loss(fpv):
+                full = dict(static_m)
+                for name in update_names:
+                    full[name] = unravel[name](fpv[name])
+                return loss_fn(full, data, target, desc, key,
+                               desc_set_padded, desc_set_mask,
+                               data_context, top_k, batch_denom)
+
+            grads, m = jax.grad(loss, has_aux=True)(fp)
+            new_fp, new_fs = dict(fp), dict(fs)
+            for name in update_names:
+                updates, new_fs[name] = tx.update(
+                    grads[name], fs[name], fp[name])
+                new_fp[name] = optax.apply_updates(
+                    fp[name], updates * scale)
+            out = ScanMetrics(m.loss_rec, m.loss_sen, m.nll_loss,
+                              m.loss_bas_rec, m.loss_bas_sen, m.accuracy)
+            return new_fp, new_fs, out
+
+        def body(carry, xs):
+            fp, fs = carry
+            b_data, b_target, b_keys, b_ctx = xs
+            nfp, nfs, m = jax.vmap(
+                member_update_flat,
+                in_axes=(0, 0, 0, None, None, None, 0, 0, None, None,
+                         None))(
+                fp, fs, static, b_data, b_target, desc, b_keys, scale,
+                desc_set_padded, desc_set_mask, b_ctx)
+            return (nfp, nfs), m
+
+        (fp, fs), metrics = jax.lax.scan(
+            body, (flat_p, flat_s), (data, target, keys, data_context))
+
+        out_p = dict(static)
+        out_s = dict(pop_opts)
+        for name in update_names:
+            out_p[name] = jax.vmap(unravel[name])(fp[name])
+            out_s[name] = jax.vmap(codecs[name][1])(fs[name])
+        return out_p, out_s, metrics
 
     return chunk
 
