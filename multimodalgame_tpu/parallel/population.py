@@ -60,7 +60,7 @@ def split_population_keys(key: jax.Array, k: int, n: int) -> jax.Array:
 
 def make_population_train_step(modules: AgentModules, top_k: int,
                                batch_denom: int, fast: Any = "auto",
-                               flat: bool = True):
+                               flat: bool = False):
     """Build the jitted population chunk trainer.
 
     Returns ``chunk(pop_params, pop_opts, data (K,B,...), target (K,B),
@@ -72,18 +72,22 @@ def make_population_train_step(modules: AgentModules, top_k: int,
     scale), turning the seed sweep into a joint seed × learning-rate
     sweep at zero extra compute.
 
-    ``flat=True`` (default) carries each trained agent's population
-    parameters (and the param-structured optimizer slots) through the
-    scan as one ``(N, P)`` matrix instead of N-stacked trees — the same
-    flat-carry trick as the single-game chunk (game/train.py:_flat_carry)
-    lifted over the member axis, so the per-step optimizer update is a
-    handful of large fused ``(N, P)`` ops rather than ~6 tiny kernels ×
-    every leaf × N. Numerics differ only by the float reassociation
-    inside ``clip_by_global_norm``'s sum of squares (one fused reduction
-    per member instead of a per-leaf partial-sum tree). The external
-    stacked-tree API is unchanged (conversion happens once per chunk),
-    and the member axis stays the leading axis of every carried array,
-    so population sharding (``shard_population``) still needs zero
+    ``flat=True`` carries each trained agent's population parameters
+    (and the param-structured optimizer slots) through the scan as one
+    ``(N, P)`` matrix instead of N-stacked trees — the single-game
+    flat-carry trick (game/train.py:_flat_carry) lifted over the member
+    axis. Measured SLOWER on TPU than the stacked default (median 821
+    vs 885 game-steps/s at N=16, interleaved A/B in both orders — see
+    PERFORMANCE.md round 4): unlike the single-game case, the member
+    axis already batches every optimizer leaf into an ``(N, leaf)`` op
+    under ``vmap``, so raveling buys no kernel-count reduction and pays
+    reshape/concat traffic every step (plus a ~10x longer compile).
+    Kept as a validated, equality-tested alternative (the Pallas-kernel
+    precedent); numerics differ only by the float reassociation inside
+    ``clip_by_global_norm``'s sum of squares. The external stacked-tree
+    API is unchanged (conversion happens once per chunk), and the
+    member axis stays the leading axis of every carried array, so
+    population sharding (``shard_population``) still needs zero
     collectives.
     """
     cfg = modules.cfg

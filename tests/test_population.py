@@ -39,14 +39,20 @@ def setup():
     return mods, cfg, (K, B, C, N), data, target, desc
 
 
-def test_population_matches_independent_runs(setup):
+@pytest.mark.parametrize("pop_flat", [False, True],
+                         ids=["stacked", "flat"])
+def test_population_matches_independent_runs(setup, pop_flat):
     """Member i of the vmapped population reproduces an independent
-    single-game run with the same init key and per-step sampling keys."""
+    single-game run with the same init key and per-step sampling keys —
+    for both carry layouts (stacked trees, the default; and the (N, P)
+    flat-carry alternative, measured slower on TPU but kept validated —
+    see population.make_population_train_step)."""
     mods, cfg, (K, B, C, N), data, target, desc = setup
     root = jax.random.PRNGKey(0)
     pop = init_population(mods, root, N, num_classes=C)
     pop_opts = init_population_opt_states(cfg, pop)
-    chunk_pop = make_population_train_step(mods, top_k=2, batch_denom=B)
+    chunk_pop = make_population_train_step(mods, top_k=2, batch_denom=B,
+                                           flat=pop_flat)
     key = jax.random.PRNGKey(9)
     keys = split_population_keys(key, K, N)
     # the chunk donates its carries — keep the originals alive
