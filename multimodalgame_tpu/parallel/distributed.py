@@ -27,6 +27,7 @@ the single-process result.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -91,6 +92,36 @@ def host_view(x) -> np.ndarray:
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
+
+
+def reassemble_local(x) -> "np.ndarray | None":
+    """Rebuild a cross-process array's full host value from this
+    process's *addressable* shards alone — no communication.
+
+    Coverage holds whenever every distinct shard is present on some
+    local device, which is true for every placement the drivers
+    produce: DP/population state is replicated; ``make_mesh_2d`` lays
+    the model axis innermost, so Megatron shards (replicated over the
+    cross-process data axis) all land on each process. Returns ``None``
+    when local shards don't cover the value (a model axis genuinely
+    spanning processes) — the caller must then gather collectively
+    (:func:`host_view`), with every process participating."""
+    out = np.empty(x.shape, x.dtype)
+    mask = np.zeros(x.shape, bool)
+    for sh in x.addressable_shards:
+        out[sh.index] = np.asarray(sh.data)
+        mask[sh.index] = True
+    return out if mask.all() else None
+
+
+def covers_locally(x) -> bool:
+    """Index-only version of :func:`reassemble_local`'s coverage check
+    (no shard data fetched) — lets callers decide *whether* a collective
+    gather will be needed before touching any data."""
+    mask = np.zeros(x.shape, bool)
+    for sh in x.addressable_shards:
+        mask[sh.index] = True
+    return bool(mask.all())
 
 
 def replicate_global(tree, mesh):
@@ -232,6 +263,68 @@ def dryrun_multihost(coordinator_address: str, num_processes: int,
         "accuracy": float(metrics.accuracy),
     }
     assert np.isfinite(out["loss_rec"]) and np.isfinite(out["loss_sen"])
+
+    if n_devices >= 4:
+        # Multi-host TENSOR parallelism (round 4): the same step on a
+        # 2-D (data, model) global mesh with Megatron-placed params
+        # (placement via put_global; XLA derives the row-parallel psum
+        # across the model axis exactly as single-process). Same seeds
+        # and global batch, so checkable against the same reference.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from multimodalgame_tpu.parallel.tensor import (
+            make_mesh_2d, shard_params_tp, tp_param_specs,
+            place_opt_states_tp)
+
+        mesh2 = make_mesh_2d(n_devices // 2, 2)
+        specs = tp_param_specs(params, 2)
+        tp_params = shard_params_tp(params, mesh2, specs)
+        tp_opts = place_opt_states_tp(opt_states, mesh2, specs)
+        g2_desc = replicate_global(desc, mesh2)
+        g2_key = replicate_global(np.asarray(jax.random.PRNGKey(1)), mesh2)
+        g2_data, g2_target = jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                NamedSharding(mesh2, P("data")), np.asarray(x)),
+            (data[lo:hi], target[lo:hi]))
+        step2 = make_sharded_train_step(modules, top_k=3,
+                                        batch_denom=batch, mesh=mesh2)
+        tp_params, tp_opts, m2 = step2(tp_params, tp_opts, g2_data,
+                                       g2_target, g2_desc, g2_key)
+        out.update(tp_loss_rec=float(m2.loss_rec),
+                   tp_loss_sen=float(m2.loss_sen),
+                   tp_accuracy=float(m2.accuracy))
+
+        # The checkpoint path reassembles cross-process Megatron shards
+        # (utils/checkpoint.py); round-trip one save/load here so the
+        # driver artifact covers it (process 0 writes, all build).
+        import tempfile
+        from multimodalgame_tpu.utils.checkpoint import (load_checkpoint,
+                                                         save_checkpoint)
+        ckpt = os.path.join(tempfile.gettempdir(),
+                            "mmg_dryrun_tp_ckpt_%d" % os.getppid())
+        save_checkpoint(ckpt, dict(step=1, best_dev_acc=0.0), tp_params,
+                        tp_opts)
+        if process_id == 0:
+            # reassemble_local, NOT host_view: only process 0 runs this
+            # block, so it must not dispatch a collective (the (·, 2)
+            # mesh keeps every model shard on each process, so local
+            # reassembly always covers).
+            def _full(x):
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    local = reassemble_local(x)
+                    assert local is not None
+                    return local
+                return np.asarray(x)
+
+            _, loaded, _ = load_checkpoint(ckpt, params, opt_states)
+            for (pa, a), (_, b) in zip(
+                    jax.tree_util.tree_leaves_with_path(loaded),
+                    jax.tree_util.tree_leaves_with_path(
+                        jax.tree_util.tree_map(_full, tp_params))):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+                    err_msg="tp ckpt " + jax.tree_util.keystr(pa))
+            os.remove(ckpt)
+            out["tp_ckpt_roundtrip"] = True
     return out
 
 

@@ -97,12 +97,17 @@ def tp_param_specs(params, n_model: int):
 
 
 def shard_params_tp(params, mesh: Mesh, specs=None):
-    """Place a parameter tree on a 2-D mesh under the tp policy."""
+    """Place a parameter tree on a 2-D mesh under the tp policy.
+
+    Works on meshes spanning processes too: ``mesh._put`` falls back to
+    per-leaf ``put_global`` (each process materializes its addressable
+    shards from its local copy of the full host value) when the
+    sharding isn't fully addressable."""
+    from multimodalgame_tpu.parallel.mesh import _put
     if specs is None:
         specs = tp_param_specs(params, mesh.shape[MODEL_AXIS])
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params, specs)
+        lambda x, s: _put(x, NamedSharding(mesh, s)), params, specs)
 
 
 def _spec_for_opt_leaf(path, specs):
@@ -177,11 +182,12 @@ def place_opt_states_tp(opt_states, mesh: Mesh, specs):
     """Place an *existing* optimizer-state tree (e.g. resumed from a
     checkpoint) with each accumulator sharded like the parameter it
     mirrors — the placement counterpart of :func:`init_tp_opt_states`."""
+    from multimodalgame_tpu.parallel.mesh import _put
     opt_specs = jax.tree_util.tree_map_with_path(
         lambda path, _: _spec_for_opt_leaf(path, specs), opt_states)
     _check_opt_placement(opt_states, opt_specs, specs)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: _put(x, NamedSharding(mesh, s)),
         opt_states, opt_specs)
 
 

@@ -199,11 +199,10 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
             raise ValueError(
                 "-num_processes > 1 requires -mesh (e.g. -mesh -1 for "
                 "every device in the job)")
-        if int(getattr(flags, "mesh_model", 0) or 0) > 1:
-            raise ValueError(
-                "-mesh_model is single-process for now: multi-host runs "
-                "keep parameters replicated (drop -mesh_model or "
-                "-num_processes)")
+        # (-mesh_model composes with -num_processes: tensor placement
+        # goes through put_global and checkpointing reassembles or
+        # collectively gathers model shards — see parallel/tensor.py and
+        # utils/checkpoint.py; pinned by tests/test_multihost_driver.py.)
         # is_initialized, NOT process_count(): querying the process count
         # initializes the local backend, after which joining the job is
         # impossible.

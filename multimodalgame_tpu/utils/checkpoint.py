@@ -45,18 +45,35 @@ from flax import serialization
 
 
 def _local_leaf(x):
-    """Reduce a cross-process array to a locally-fetchable one. Only
-    replicated leaves are supported (the multi-host driver replicates
-    params/optimizer state; cross-process *sharded* checkpointing would
-    need a collective gather and is rejected loudly)."""
+    """Reduce a cross-process array to a locally-fetchable host value.
+
+    Replicated leaves read their local shard. Model-sharded leaves
+    (multi-host tensor parallelism) reassemble from local shards —
+    zero communication, possible whenever ``make_mesh_2d``'s innermost
+    model axis keeps every Megatron shard on each process. Only a model
+    axis genuinely spanning processes needs the collective gather
+    (``host_view``) — and then EVERY process must reach this call (see
+    ``save_checkpoint``'s all-process payload contract)."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        if not x.sharding.is_fully_replicated:
-            raise ValueError(
-                "cannot checkpoint a cross-process *sharded* array "
-                "(shape %s, sharding %s); multi-host runs keep "
-                "params/optimizer state replicated" % (x.shape, x.sharding))
-        return x.addressable_data(0)
+        if x.sharding.is_fully_replicated:
+            return x.addressable_data(0)
+        from multimodalgame_tpu.parallel.distributed import (
+            host_view, reassemble_local)
+        local = reassemble_local(x)
+        return local if local is not None else host_view(x)
     return x
+
+
+def _cross_process_sharded(tree) -> bool:
+    """True when any leaf is a cross-process array that is NOT fully
+    replicated — i.e. building the host payload may involve collective
+    gathers, so all processes must build it (sharding metadata is
+    identical on every process, so every process takes this branch
+    together)."""
+    return any(
+        isinstance(x, jax.Array) and not x.is_fully_addressable
+        and not x.sharding.is_fully_replicated
+        for x in jax.tree_util.tree_leaves(tree))
 
 
 def _to_host(tree):
@@ -82,19 +99,29 @@ def save_checkpoint(filename: str, data: Dict[str, Any],
     (``msgpack``: one file, atomic rename so a crash can't truncate an
     existing checkpoint; ``orbax``: async checkpoint directory).
 
-    In a multi-process job only process 0 writes (the driver keeps
-    params/optimizer state replicated, so its copy is the global state);
-    other processes return immediately — they still dispatched the same
-    device snapshot, keeping program order identical across processes."""
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return
+    In a multi-process job only process 0 writes. With replicated state
+    (data parallelism) the other processes return immediately — process
+    0's local copy IS the global state. With model-sharded state
+    (multi-host tensor parallelism) EVERY process builds the host
+    payload first: reassembly is usually local (zero communication, see
+    ``_local_leaf``) but may need collective gathers, and a collective
+    dispatched by process 0 alone would hang the job — so all processes
+    walk the same leaves in the same order, then the non-writers drop
+    the result."""
+    payload = None
+    if jax.process_count() > 1:
+        if _cross_process_sharded((params, opt_states)):
+            payload = _payload(data, params, opt_states)
+        if jax.process_index() != 0:
+            return
     if fmt == "orbax":
         if os.path.isfile(filename):
             raise ValueError(
                 f"{filename} is a msgpack checkpoint file but "
                 "-ckpt_format orbax was requested; pass -ckpt_format "
                 "msgpack (the resumed run's format) or remove the file")
-        _save_orbax(filename, _payload(data, params, opt_states))
+        _save_orbax(filename,
+                    payload or _payload(data, params, opt_states))
         return
     if fmt != "msgpack":
         raise ValueError(f"unknown checkpoint format: {fmt!r}")
@@ -103,8 +130,8 @@ def save_checkpoint(filename: str, data: Dict[str, Any],
             f"{filename} is an orbax checkpoint directory but the "
             "msgpack format was requested; pass -ckpt_format orbax "
             "(the resumed run's format) or remove the directory")
-    blob = serialization.msgpack_serialize(_payload(data, params,
-                                                    opt_states))
+    blob = serialization.msgpack_serialize(
+        payload or _payload(data, params, opt_states))
     tmp = filename + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)

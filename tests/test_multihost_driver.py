@@ -60,9 +60,15 @@ def _base_argv(paths, log_path):
     ]
 
 
-@pytest.fixture(scope="module")
-def multihost_run(synthetic_dataset, tmp_path_factory):
-    root = tmp_path_factory.mktemp("mh")
+# Two flavors: plain data parallelism, and the 2-D (data, model) mesh —
+# multi-host tensor parallelism (round 4): Megatron shards placed via
+# put_global, checkpoints reassembled from local shards.
+_EXTRA = {"dp": [], "tp": ["-mesh_model", "2"]}
+
+
+@pytest.fixture(scope="module", params=sorted(_EXTRA))
+def multihost_run(request, synthetic_dataset, tmp_path_factory):
+    root = tmp_path_factory.mktemp("mh_" + request.param)
     log_path = str(root / "mh2")
     os.makedirs(log_path, exist_ok=True)
     port = _free_port()
@@ -70,6 +76,7 @@ def multihost_run(synthetic_dataset, tmp_path_factory):
         subprocess.Popen(
             [sys.executable, "-m", "multimodalgame_tpu"]
             + _base_argv(synthetic_dataset, log_path)
+            + _EXTRA[request.param]
             + ["-coordinator", f"127.0.0.1:{port}",
                "-num_processes", "2", "-process_id", str(i)],
             env=_worker_env(4), cwd=_REPO,
@@ -87,7 +94,7 @@ def multihost_run(synthetic_dataset, tmp_path_factory):
                 p.wait()
     for p, stderr in zip(procs, errs):
         assert p.returncode == 0, f"worker failed:\n{stderr[-4000:]}"
-    return log_path
+    return log_path, _EXTRA[request.param]
 
 
 def _log_body(path):
@@ -97,7 +104,7 @@ def _log_body(path):
     test_mesh_driver._log_numbers."""
     rows = []
     for ln in open(path).read().splitlines():
-        if "Data-parallel mesh" in ln:
+        if "Data-parallel mesh" in ln or ln.rstrip().endswith("model (cpu)"):
             continue
         msg = ln.split(": ", 1)[-1]
         kind = re.sub(r"[-+]?\d+\.?\d*(e[-+]?\d+)?", "#", msg)
@@ -115,8 +122,11 @@ def _log_body(path):
 def test_multihost_matches_single_process(multihost_run, synthetic_dataset,
                                           tmp_path):
     """Final checkpoint parameters and the full log-artifact stream of
-    the 2-process run match a single-process -mesh 8 run of the same
-    config (up to cross-process psum reassociation)."""
+    the 2-process run match a single-process run of the same config and
+    mesh shape (up to cross-process psum reassociation) — for both the
+    data-parallel mesh and the 2-D (data, model) tensor-parallel one
+    (whose checkpoints exercise the cross-process Megatron-shard
+    reassembly in utils/checkpoint.py)."""
     import jax
 
     from multimodalgame_tpu.config import (finalize_flags, make_flags,
@@ -128,8 +138,10 @@ def test_multihost_matches_single_process(multihost_run, synthetic_dataset,
     from multimodalgame_tpu.train import run
     from multimodalgame_tpu.utils.checkpoint import load_checkpoint
 
+    mh_log_path, extra = multihost_run
+
     # Single-process reference with the same flags (own artifact dir).
-    argv = _base_argv(synthetic_dataset, str(tmp_path / "one"))
+    argv = _base_argv(synthetic_dataset, str(tmp_path / "one")) + extra
     f_one = make_flags()
     parse_args(f_one, argv)
     finalize_flags(f_one, argv)
@@ -140,7 +152,7 @@ def test_multihost_matches_single_process(multihost_run, synthetic_dataset,
     # Load both step-11 periodic checkpoints (written after the final
     # optimizer update; process 0 owns the multi-host file).
     f_mh = make_flags()
-    argv_mh = _base_argv(synthetic_dataset, multihost_run)
+    argv_mh = _base_argv(synthetic_dataset, mh_log_path) + extra
     parse_args(f_mh, argv_mh)
     finalize_flags(f_mh, argv_mh)
     cfg = GameConfig.from_flags(f_mh)
@@ -199,6 +211,5 @@ def test_multihost_flag_validation(synthetic_dataset, tmp_path):
 
     with pytest.raises(ValueError, match="coordinator"):
         run(flags_for(["-num_processes", "2"]))
-    with pytest.raises(ValueError, match="mesh_model is single-process"):
-        run(flags_for(["-num_processes", "2", "-coordinator", "x:1",
-                       "-mesh_model", "2"]))
+    # (-mesh_model + -num_processes is a SUPPORTED combination since
+    # round 4 — exercised end-to-end by the "tp" multihost_run flavor.)
