@@ -325,6 +325,44 @@ def dryrun_multihost(coordinator_address: str, num_processes: int,
                     err_msg="tp ckpt " + jax.tree_util.keystr(pa))
             os.remove(ckpt)
             out["tp_ckpt_roundtrip"] = True
+
+        # Model axis genuinely SPANNING processes: on a (1, n_devices)
+        # mesh each process's local shards cover only part of every
+        # Megatron leaf, so building the checkpoint payload takes the
+        # collective gather (host_view) — the all-process payload
+        # contract in save_checkpoint is what keeps the job from
+        # deadlocking on it. Placement is value-preserving, so the
+        # written payload must equal the original host trees.
+        from multimodalgame_tpu.parallel.tensor import MODEL_AXIS
+        mesh_span = make_mesh_2d(1, n_devices)
+        specs_s = tp_param_specs(params, n_devices)
+        span_params = shard_params_tp(params, mesh_span, specs_s)
+        span_opts = place_opt_states_tp(opt_states, mesh_span, specs_s)
+        sharded = [x for x in jax.tree_util.tree_leaves(span_params)
+                   if isinstance(x, jax.Array)
+                   and not x.is_fully_addressable
+                   and not x.sharding.is_fully_replicated]
+        # Prove the leg exercises the collective path, not local
+        # reassembly: at least one Megatron shard set must NOT be
+        # locally coverable (model extent > local device count).
+        assert mesh_span.shape[MODEL_AXIS] == n_devices
+        assert sharded and not all(covers_locally(x) for x in sharded)
+        ckpt_s = os.path.join(tempfile.gettempdir(),
+                              "mmg_dryrun_span_ckpt_%d" % os.getppid())
+        save_checkpoint(ckpt_s, dict(step=2, best_dev_acc=0.0),
+                        span_params, span_opts)
+        if process_id == 0:
+            _, loaded, lopts = load_checkpoint(ckpt_s, params, opt_states)
+            for got, want in ((loaded, params), (lopts, opt_states)):
+                for (pa, va), (_, vb) in zip(
+                        jax.tree_util.tree_leaves_with_path(got),
+                        jax.tree_util.tree_leaves_with_path(want)):
+                    np.testing.assert_allclose(
+                        np.asarray(va), np.asarray(vb), rtol=1e-6,
+                        atol=1e-7,
+                        err_msg="span ckpt " + jax.tree_util.keystr(pa))
+            os.remove(ckpt_s)
+            out["span_ckpt_roundtrip"] = True
     return out
 
 

@@ -58,9 +58,10 @@ def _local_leaf(x):
         if x.sharding.is_fully_replicated:
             return x.addressable_data(0)
         from multimodalgame_tpu.parallel.distributed import (
-            host_view, reassemble_local)
-        local = reassemble_local(x)
-        return local if local is not None else host_view(x)
+            covers_locally, host_view, reassemble_local)
+        if covers_locally(x):  # index-only check before any data fetch
+            return reassemble_local(x)
+        return host_view(x)
     return x
 
 
