@@ -24,18 +24,16 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
-# Persistent XLA compilation cache: first run (or a new topology) pays the
-# compile; subsequent runs start instantly.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(_REPO, ".jax_cache"))
-
-
 def _jax_with_cache():
+    # Persistent XLA compilation cache: first run (or a new topology)
+    # pays the compile; subsequent runs start instantly. Host-scoped —
+    # a cache written by a different machine ABORTS the process when
+    # its XLA:CPU AOT entries run (utils/compile_cache.py).
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from multimodalgame_tpu.utils import compile_cache
+
+    compile_cache.configure(jax, _REPO)
     return jax
 
 

@@ -8,7 +8,7 @@ chunks ending in a forced host transfer and divide the difference):
   no_metric — full updates, ScanMetrics replaced by one scalar
   fwd_only  — phase A sampled conversation alone (no grad, no update)
 
-Run: JAX_COMPILATION_CACHE_DIR=.jax_cache python benchmarks/decompose_step.py
+Run: python benchmarks/decompose_step.py  (host-scoped compile cache is automatic)
 """
 
 from __future__ import annotations
@@ -20,11 +20,12 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache"))
-
 import jax                                                  # noqa: E402
+
+from multimodalgame_tpu.utils import compile_cache          # noqa: E402
+
+compile_cache.configure(jax, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import jax.numpy as jnp                                     # noqa: E402
 
 from multimodalgame_tpu.game.agents import AgentModules, init_params  # noqa: E402

@@ -24,8 +24,7 @@ import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(_REPO, ".jax_cache"))
+# Host-scoped persistent cache (utils/compile_cache.py).
 
 
 def main() -> None:
@@ -38,9 +37,9 @@ def main() -> None:
     args = p.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from multimodalgame_tpu.utils import compile_cache
+    compile_cache.configure(jax, _REPO)
 
     from multimodalgame_tpu.config import (finalize_flags, make_flags,
                                            parse_args)

@@ -18,10 +18,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: repeated suite runs skip recompilation.
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Host-scoped — a cache written by a different machine ABORTS the
+# process when its XLA:CPU AOT entries run (utils/compile_cache.py).
+from multimodalgame_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.configure(jax, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 

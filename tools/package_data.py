@@ -84,13 +84,11 @@ def run(args) -> None:
     import jax.numpy as jnp
 
     # Persistent compile cache: repeated invocations (train/dev/test
-    # splits) reuse the jitted ResNet executable.
-    cache = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # splits) reuse the jitted ResNet executable. Host-scoped — see
+    # utils/compile_cache.py.
+    from multimodalgame_tpu.utils import compile_cache
+    compile_cache.configure(jax, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
     from multimodalgame_tpu.models.resnet import (load_pretrained,
                                                   random_params,
