@@ -31,6 +31,7 @@ from multimodalgame_tpu.game.config import GameConfig
 from multimodalgame_tpu.game.train import (init_opt_states, make_eval_exchange,
                                            make_train_step)
 from multimodalgame_tpu.utils.checkpoint import (load_checkpoint,
+                                                 recover_orbax,
                                                  save_checkpoint,
                                                  wait_for_checkpoints)
 from multimodalgame_tpu.utils.logging import FileLogger, VisdomLogger
@@ -278,26 +279,66 @@ def run(flags: Flags, max_steps: Optional[int] = None) -> dict:
     step = 0
     best_dev_acc = 0.0
 
-    if os.path.exists(flags.checkpoint):
+    # Repair any crash-interrupted orbax staging swap BEFORE the resume
+    # decision: the mid-swap crash window leaves nothing at
+    # flags.checkpoint itself, so an exists()-gated resume would skip
+    # the load and the next save would sweep the only committed copy as
+    # stale staging (recover_orbax self-gates to process 0).
+    recover_orbax(flags.checkpoint)
+    recover_orbax(flags.checkpoint + "_best")
+    multiproc = nproc > 1 and jax.process_count() > 1
+    resume = os.path.exists(flags.checkpoint)
+    ckpt_is_dir = os.path.isdir(flags.checkpoint)
+    if multiproc:
+        # The checkpoint lives on process 0's host (it owns the shared
+        # artifacts); its existence/format verdict must be the GLOBAL
+        # one. A per-process exists() silently diverges the job on
+        # restart: process 0 resumes at step N while the others init
+        # fresh at step 0 — mismatched dispatch schedules (collective
+        # hangs) or, where they align, "replicated" arrays whose
+        # per-process shards hold different values.
+        from jax.experimental import multihost_utils
+        resume, ckpt_is_dir = (
+            bool(v) for v in multihost_utils.broadcast_one_to_all(
+                np.asarray([resume, ckpt_is_dir])))
+    if resume:
         # Resuming adopts the checkpoint's on-disk format (either
         # direction) so the next periodic save doesn't collide with the
         # existing artifact (save_checkpoint fails fast on a mismatch).
-        if os.path.isdir(flags.checkpoint) and flags.ckpt_format != "orbax":
+        if ckpt_is_dir and flags.ckpt_format != "orbax":
             flags.ckpt_format = "orbax"
             flogger.Log("Checkpoint is an orbax directory; using "
                         "-ckpt_format orbax for this run")
-        elif (os.path.isfile(flags.checkpoint)
-              and flags.ckpt_format != "msgpack"):
+        elif not ckpt_is_dir and flags.ckpt_format != "msgpack":
             flags.ckpt_format = "msgpack"
             flogger.Log("Checkpoint is a msgpack file; using "
                         "-ckpt_format msgpack for this run")
         flogger.Log("Loading from: " + flags.checkpoint)
-        data, params, opt_states = load_checkpoint(flags.checkpoint, params,
-                                                   opt_states)
+        if not multiproc or jax.process_index() == 0:
+            data, params, opt_states = load_checkpoint(
+                flags.checkpoint, params, opt_states)
+            step = int(data["step"])
+            best_dev_acc = float(data["best_dev_acc"])
+        if multiproc:
+            # Every process must carry process 0's exact state: step and
+            # best_dev_acc drive the chunk/log/dev/save schedules (a
+            # divergent "new best" verdict would desynchronize the
+            # collective checkpoint-payload gathers), and put_global
+            # assumes identical per-process values for replicated
+            # leaves. best_dev_acc rides as raw f64 bytes — a float32
+            # broadcast could round it across a later >= comparison.
+            from jax.experimental import multihost_utils
+            payload = (np.int32(step),
+                       np.frombuffer(np.float64(best_dev_acc).tobytes(),
+                                     np.uint8).copy(),
+                       params, opt_states)
+            payload = multihost_utils.broadcast_one_to_all(payload)
+            step = int(payload[0])
+            best_dev_acc = float(np.frombuffer(
+                np.asarray(payload[1], np.uint8).tobytes(), np.float64)[0])
+            params, opt_states = payload[2], payload[3]
         flogger.Log("Loaded at step: {} and best dev acc: {}".format(
-            data["step"], data["best_dev_acc"]))
-        step = int(data["step"])
-        best_dev_acc = float(data["best_dev_acc"])
+            step, best_dev_acc))
 
     # Fused Pallas eval kernel: opt-in via MMG_USE_PALLAS_EVAL=1 (only
     # affects eligible configs; see ops/pallas_exchange.py).

@@ -174,7 +174,20 @@ def _orbax_checkpointer():
     global _ORBAX
     if _ORBAX is None:
         import orbax.checkpoint as ocp
-        _ORBAX = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        kwargs = {}
+        if jax.process_count() > 1:
+            # Only process 0 reaches the orbax calls (the checkpoint
+            # owner — save_checkpoint gates the others out, and the
+            # payload is already a gathered host tree by then). Orbax's
+            # save/restore open with GLOBAL sync barriers, so without
+            # restricting the active set to process 0 the first orbax
+            # save would block forever waiting for processes that never
+            # call it.
+            kwargs["multiprocessing_options"] = (
+                ocp.options.MultiprocessingOptions(primary_host=0,
+                                                   active_processes={0}))
+        _ORBAX = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler(),
+                                       **kwargs)
         atexit.register(wait_for_checkpoints)
     return _ORBAX
 
@@ -225,7 +238,17 @@ def recover_orbax(dirname: str) -> None:
       is live; the stale ``.old`` is swept here.
 
     Idempotent and cheap (a few ``stat`` calls when nothing crashed);
-    called by :func:`load_checkpoint` so auto-resume self-heals."""
+    called by :func:`load_checkpoint` so auto-resume self-heals — and by
+    the driver BEFORE its resume decision, because the mid-swap crash
+    window leaves nothing at the final path, so an ``exists()``-gated
+    resume would skip the load entirely and the next save would sweep
+    the only committed copy as stale staging.
+
+    In a multi-process job only process 0 (the checkpoint owner) runs
+    the repair: on a shared filesystem concurrent repairs would race
+    each other's renames."""
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     import shutil
     final = os.path.abspath(os.path.expanduser(dirname))
     staging, old = final + ".staging", final + ".old"

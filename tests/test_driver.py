@@ -388,6 +388,34 @@ def test_fast_driver_resume_orbax(synthetic_dataset, tmp_path):
             in open(f3.log_file).read())
 
 
+def test_fast_driver_resume_orbax_mid_swap_crash(synthetic_dataset,
+                                                 tmp_path):
+    """A crash between the staging swap's two renames leaves NOTHING at
+    flags.checkpoint — only the committed ``.staging``. The driver must
+    still resume (recover_orbax runs BEFORE its exists() gate); an
+    exists()-gated resume would silently restart at step 0 and the first
+    periodic save would sweep the only committed copy as stale
+    staging."""
+    pytest.importorskip("orbax.checkpoint")
+    from multimodalgame_tpu.train import run
+
+    paths = synthetic_dataset
+    f1 = _flags(paths, tmp_path, "reswap", extra=["-ckpt_format", "orbax"])
+    run(f1, max_steps=5)
+    assert os.path.isdir(f1.checkpoint)
+    # Reproduce the mid-swap crash window: the newest checkpoint is the
+    # committed .staging, the final path is already renamed away.
+    os.rename(f1.checkpoint, f1.checkpoint + ".staging")
+    f2 = _flags(paths, tmp_path, "reswap", extra=["-ckpt_format", "orbax"])
+    out = run(f2, max_steps=7)
+    assert out["step"] == 7
+    log = open(f2.log_file).read()
+    assert "Loading from: " + f2.checkpoint in log
+    assert "Loaded at step: " in log
+    assert os.path.isdir(f2.checkpoint)
+    assert not os.path.exists(f2.checkpoint + ".staging")
+
+
 def test_fast_driver_chunks_span_epochs(synthetic_dataset, tmp_path,
                                         monkeypatch):
     """Chunk boundaries come from host-visible cadences only — a single

@@ -213,3 +213,128 @@ def test_multihost_flag_validation(synthetic_dataset, tmp_path):
         run(flags_for(["-num_processes", "2"]))
     # (-mesh_model + -num_processes is a SUPPORTED combination since
     # round 4 — exercised end-to-end by the "tp" multihost_run flavor.)
+
+
+def _set(argv, flag, value):
+    argv = list(argv)
+    argv[argv.index(flag) + 1] = str(value)
+    return argv
+
+
+def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
+    """Orbax checkpoints + auto-resume under multi-process, for both the
+    data-parallel and the 2-D tensor-parallel mesh:
+
+    * only process 0 calls into orbax, whose save/restore open with
+      global sync barriers — restricted to the active set {0}
+      (utils/checkpoint.py), else the first periodic save deadlocks
+      waiting on processes that never call it;
+    * the resume decision and the loaded state are process 0's,
+      broadcast: process 1's checkpoint path deliberately does NOT
+      exist (hosts have separate filesystems), yet both processes
+      resume at the same step with process 0's exact params and
+      best_dev_acc (a per-process exists() gate would diverge the job);
+    * pinned equal to a single-process -mesh 8 run that saved and
+      resumed at the same point (the RNG chain restarts at resume, so
+      the reference must resume too).
+    """
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    from multimodalgame_tpu.config import (finalize_flags, make_flags,
+                                           parse_args)
+    from multimodalgame_tpu.data.descriptions import load_descriptions
+    from multimodalgame_tpu.game.agents import AgentModules, init_params
+    from multimodalgame_tpu.game.config import GameConfig
+    from multimodalgame_tpu.game.train import init_opt_states
+    from multimodalgame_tpu.train import run
+    from multimodalgame_tpu.utils.checkpoint import load_checkpoint
+
+    orbax = ["-ckpt_format", "orbax"]
+
+    def launch(log_path, extra, max_epoch, p1_ckpt):
+        port = _free_port()
+        procs = []
+        for i in range(2):
+            argv = _set(_base_argv(synthetic_dataset, log_path),
+                        "-max_epoch", max_epoch)
+            argv = _set(argv, "-save_interval", 5) + orbax + extra
+            argv += ["-coordinator", f"127.0.0.1:{port}",
+                     "-num_processes", "2", "-process_id", str(i)]
+            if i == 1:
+                argv += ["-checkpoint", p1_ckpt]
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "multimodalgame_tpu"] + argv,
+                env=_worker_env(4), cwd=_REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        errs = []
+        try:
+            for p in procs:
+                _, stderr = p.communicate(timeout=900)
+                errs.append(stderr)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        for p, stderr in zip(procs, errs):
+            assert p.returncode == 0, f"worker failed:\n{stderr[-4000:]}"
+
+    # Single-process reference (computed once; DP and TP agree within
+    # the cross-mesh tolerance): save at t=5, resume, finish at t=10.
+    one_path = str(tmp_path / "one")
+    os.makedirs(one_path, exist_ok=True)
+    argv_a = _set(_set(_base_argv(synthetic_dataset, one_path),
+                       "-max_epoch", 1), "-save_interval", 5) + orbax
+    f_a = make_flags()
+    parse_args(f_a, argv_a)
+    finalize_flags(f_a, argv_a)
+    run(f_a)
+    argv_b = _set(argv_a, "-max_epoch", 2)
+    f_b = make_flags()
+    parse_args(f_b, argv_b)
+    finalize_flags(f_b, argv_b)
+    r_one = run(f_b)
+    assert r_one["step"] == 12
+    assert "Loaded at step: 5" in open(f_b.log_file).read()
+
+    cfg = GameConfig.from_flags(f_b)
+    mods = AgentModules(cfg)
+    pack = load_descriptions(synthetic_dataset["descr"], "fake", 16)
+    template_p = init_params(mods, jax.random.PRNGKey(0),
+                             num_classes=pack.num_classes)
+    template_o = init_opt_states(cfg, template_p)
+    data_one, p_one, _ = load_checkpoint(f_b.checkpoint, template_p,
+                                         template_o)
+    assert data_one["step"] == 10
+
+    for variant, extra in (("dp", []), ("tp", ["-mesh_model", "2"])):
+        root = str(tmp_path / ("mh_" + variant))
+        os.makedirs(root, exist_ok=True)
+        p1_ckpt = str(tmp_path / ("p1_fs_" + variant) / "ckpt")
+        os.makedirs(os.path.dirname(p1_ckpt), exist_ok=True)
+        launch(root, extra, 1, p1_ckpt)          # orbax save at t=5
+        launch(root, extra, 2, p1_ckpt)          # resume on BOTH processes
+        f_mh = make_flags()
+        argv_mh = _set(_set(_base_argv(synthetic_dataset, root),
+                            "-max_epoch", 2), "-save_interval", 5) + orbax
+        parse_args(f_mh, argv_mh + extra)
+        finalize_flags(f_mh, argv_mh + extra)
+        assert os.path.isdir(f_mh.checkpoint), variant
+        data_mh, p_mh, _ = load_checkpoint(f_mh.checkpoint, template_p,
+                                           template_o)
+        assert data_mh["step"] == 10, variant
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(p_one),
+                jax.tree_util.tree_leaves_with_path(p_mh)):
+            label = variant + jax.tree_util.keystr(pa)
+            if "y2']['bias" in label:  # zero-gradient noise walk
+                continue
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-5, err_msg=label)
+        # Process 1 followed process 0's broadcast resume verdict even
+        # though ITS checkpoint path never existed — and never wrote it.
+        p1_log = open(f_mh.log_file + ".p1").read()
+        assert "Loading from: " + p1_ckpt in p1_log, variant
+        assert "Loaded at step: 5" in p1_log, variant
+        assert not os.path.exists(p1_ckpt), variant
