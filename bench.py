@@ -25,10 +25,10 @@ import numpy as np
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 def _jax_with_cache():
-    # Persistent XLA compilation cache: first run (or a new topology)
-    # pays the compile; subsequent runs start instantly. Host-scoped —
-    # a cache written by a different machine ABORTS the process when
-    # its XLA:CPU AOT entries run (utils/compile_cache.py).
+    # Persistent XLA compilation cache: OFF unless the caller exported
+    # JAX_COMPILATION_CACHE_DIR — reloading XLA:CPU AOT entries ABORTS
+    # the process on some hosts (utils/compile_cache.py), and this TPU
+    # backend pays full compiles regardless.
     import jax
 
     from multimodalgame_tpu.utils import compile_cache

@@ -26,7 +26,7 @@ import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
-# Host-scoped persistent cache (utils/compile_cache.py).
+# Persistent compile cache: opt-in only (utils/compile_cache.py).
 
 
 def main() -> None:

@@ -8,7 +8,7 @@ chunks ending in a forced host transfer and divide the difference):
   no_metric — full updates, ScanMetrics replaced by one scalar
   fwd_only  — phase A sampled conversation alone (no grad, no update)
 
-Run: python benchmarks/decompose_step.py  (host-scoped compile cache is automatic)
+Run: python benchmarks/decompose_step.py
 """
 
 from __future__ import annotations

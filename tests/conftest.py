@@ -17,9 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache: repeated suite runs skip recompilation.
-# Host-scoped — a cache written by a different machine ABORTS the
-# process when its XLA:CPU AOT entries run (utils/compile_cache.py).
+# Persistent compile cache: OFF unless JAX_COMPILATION_CACHE_DIR is
+# explicitly set — reloading XLA:CPU AOT entries ABORTS the process on
+# some hosts, even entries the same machine wrote (compile_cache.py).
 from multimodalgame_tpu.utils import compile_cache  # noqa: E402
 
 compile_cache.configure(jax, os.path.dirname(

@@ -83,9 +83,9 @@ def run(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: repeated invocations (train/dev/test
-    # splits) reuse the jitted ResNet executable. Host-scoped — see
-    # utils/compile_cache.py.
+    # Persistent compile cache: opt-in only via JAX_COMPILATION_CACHE_DIR
+    # (reloading XLA:CPU AOT entries aborts on some hosts — see
+    # utils/compile_cache.py).
     from multimodalgame_tpu.utils import compile_cache
     compile_cache.configure(jax, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
