@@ -237,6 +237,17 @@ def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
     * pinned equal to a single-process -mesh 8 run that saved and
       resumed at the same point (the RNG chain restarts at resume, so
       the reference must resume too).
+
+    Resume semantics are the REFERENCE's replay contract (reference
+    model.py:1149-1156 restores step only; model.py:1190 counts epochs
+    0..max_epoch-1 regardless — mirrored at game/driver.py and
+    train.py): phase A trains 1 epoch (steps 0..5, periodic orbax save
+    at t=5); phase B restores step=5 and replays max_epoch=2 FULL
+    epochs (t=5..16), finishing at step 17 with periodic saves at 5,
+    10 and 15 — NOT a global-schedule resume that would stop at 12.
+
+    Each mesh variant costs ONE 2-process launch: the workers run both
+    phases in-process (tests/_mh_worker.py), sharing jit compiles.
     """
     pytest.importorskip("orbax.checkpoint")
     import jax
@@ -251,20 +262,20 @@ def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
     from multimodalgame_tpu.utils.checkpoint import load_checkpoint
 
     orbax = ["-ckpt_format", "orbax"]
+    worker = os.path.join(_REPO, "tests", "_mh_worker.py")
 
-    def launch(log_path, extra, max_epoch, p1_ckpt):
+    def launch(log_path, extra, p1_ckpt):
         port = _free_port()
         procs = []
         for i in range(2):
             argv = _set(_base_argv(synthetic_dataset, log_path),
-                        "-max_epoch", max_epoch)
-            argv = _set(argv, "-save_interval", 5) + orbax + extra
+                        "-save_interval", 5) + orbax + extra
             argv += ["-coordinator", f"127.0.0.1:{port}",
                      "-num_processes", "2", "-process_id", str(i)]
             if i == 1:
                 argv += ["-checkpoint", p1_ckpt]
             procs.append(subprocess.Popen(
-                [sys.executable, "-m", "multimodalgame_tpu"] + argv,
+                [sys.executable, worker, "1", "2"] + argv,
                 env=_worker_env(4), cwd=_REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
         errs = []
@@ -281,7 +292,8 @@ def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
             assert p.returncode == 0, f"worker failed:\n{stderr[-4000:]}"
 
     # Single-process reference (computed once; DP and TP agree within
-    # the cross-mesh tolerance): save at t=5, resume, finish at t=10.
+    # the cross-mesh tolerance): save at t=5 of a 1-epoch run, resume,
+    # replay 2 full epochs, finish at t=17 (last periodic save t=15).
     one_path = str(tmp_path / "one")
     os.makedirs(one_path, exist_ok=True)
     argv_a = _set(_set(_base_argv(synthetic_dataset, one_path),
@@ -289,13 +301,14 @@ def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
     f_a = make_flags()
     parse_args(f_a, argv_a)
     finalize_flags(f_a, argv_a)
-    run(f_a)
+    r_a = run(f_a)
+    assert r_a["step"] == 6
     argv_b = _set(argv_a, "-max_epoch", 2)
     f_b = make_flags()
     parse_args(f_b, argv_b)
     finalize_flags(f_b, argv_b)
     r_one = run(f_b)
-    assert r_one["step"] == 12
+    assert r_one["step"] == 17
     assert "Loaded at step: 5" in open(f_b.log_file).read()
 
     cfg = GameConfig.from_flags(f_b)
@@ -306,15 +319,14 @@ def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
     template_o = init_opt_states(cfg, template_p)
     data_one, p_one, _ = load_checkpoint(f_b.checkpoint, template_p,
                                          template_o)
-    assert data_one["step"] == 10
+    assert data_one["step"] == 15
 
     for variant, extra in (("dp", []), ("tp", ["-mesh_model", "2"])):
         root = str(tmp_path / ("mh_" + variant))
         os.makedirs(root, exist_ok=True)
         p1_ckpt = str(tmp_path / ("p1_fs_" + variant) / "ckpt")
         os.makedirs(os.path.dirname(p1_ckpt), exist_ok=True)
-        launch(root, extra, 1, p1_ckpt)          # orbax save at t=5
-        launch(root, extra, 2, p1_ckpt)          # resume on BOTH processes
+        launch(root, extra, p1_ckpt)  # phase A save at t=5, phase B resume
         f_mh = make_flags()
         argv_mh = _set(_set(_base_argv(synthetic_dataset, root),
                             "-max_epoch", 2), "-save_interval", 5) + orbax
@@ -323,7 +335,7 @@ def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
         assert os.path.isdir(f_mh.checkpoint), variant
         data_mh, p_mh, _ = load_checkpoint(f_mh.checkpoint, template_p,
                                            template_o)
-        assert data_mh["step"] == 10, variant
+        assert data_mh["step"] == 15, variant
         for (pa, a), (_, b) in zip(
                 jax.tree_util.tree_leaves_with_path(p_one),
                 jax.tree_util.tree_leaves_with_path(p_mh)):
