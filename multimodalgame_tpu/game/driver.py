@@ -189,8 +189,8 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             # baselines over the model axis (parallel/tensor.py); the
             # data-parallel placement below is otherwise unchanged.
             from multimodalgame_tpu.parallel.tensor import (
-                MODEL_AXIS, place_opt_states_tp, shard_params_tp,
-                tp_param_specs)
+                MODEL_AXIS, class_axis_placer, place_opt_states_tp,
+                shard_params_tp, tp_param_specs)
             flogger.Log(
                 "Mesh: {} devices = {} data x {} model ({})".format(
                     mesh.size, mesh.shape["data"], mesh.shape[MODEL_AXIS],
@@ -198,15 +198,19 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             specs = tp_param_specs(params, mesh.shape[MODEL_AXIS])
             params = shard_params_tp(params, mesh, specs)
             opt_states = place_opt_states_tp(opt_states, mesh, specs)
+            # Receiver prediction head: class-axis sharding via the
+            # description inputs (parallel/tensor.py class_axis_placer).
+            place_desc = class_axis_placer(mesh)
         else:
             flogger.Log("Data-parallel mesh: {} devices ({})".format(
                 mesh.size, jax.devices()[0].platform))
             params = replicate(params, mesh)
             opt_states = replicate(opt_states, mesh)
-        desc_j = replicate(desc_j, mesh)
+            place_desc = lambda x: replicate(x, mesh)  # noqa: E731
+        desc_j = place_desc(desc_j)
         if padded_j is not None:
-            padded_j = replicate(padded_j, mesh)
-            pmask_j = replicate(pmask_j, mesh)
+            padded_j = place_desc(padded_j)
+            pmask_j = place_desc(pmask_j)
         train_ds.place(rep)
         dev_ds.place(rep)
         # Batch-index rows shard on their trailing (batch) axis; ragged

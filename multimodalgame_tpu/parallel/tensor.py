@@ -21,11 +21,32 @@ Placement policy (why these leaves and not others):
   feature axis; no resharding in the middle.
 * **Baselines** — ``linear1`` column-parallel / ``linear2`` row-parallel
   over ``baseline_hid_dim`` (500), the same block shape.
-* **Receiver** — replicated. Its GRU recurrence is the latency-bound
-  sequential phase (PERFORMANCE.md); sharding the hidden dim would put a
-  collective on every turn of the exchange's critical path for matmuls
-  that are tiny even in the big game (256 hidden). The scaling-book rule:
-  shard where the FLOPs are, never across a fast sequential dependency.
+* **Receiver parameters** — replicated. Its GRU recurrence is the
+  latency-bound sequential phase (PERFORMANCE.md); sharding the hidden
+  dim would put a collective on every turn of the exchange's critical
+  path for matmuls that are tiny even in the big game (256 hidden). The
+  scaling-book rule: shard where the FLOPs are, never across a fast
+  sequential dependency.
+* **Receiver prediction head** — class-axis sharded via the *description
+  input*, not a parameter (:func:`class_axis_placer`). The head is the
+  big game's declared bandwidth center (PERFORMANCE.md "Larger games"):
+  every turn broadcasts the per-class projection ``desc_proj (D, hid)``
+  against ``(B, hid)`` into the ``relu`` intermediate ``(B, D, hid)`` —
+  1 GB per turn at B=1024, D=1000, hid=256 f32, ~170 GB/s of the chip's
+  HBM bandwidth at the measured step rate, vs ~3 MFLOP-sized GRU matmuls.
+  Per-class scoring is embarrassingly parallel over D, and D is the
+  leading axis of the ``desc`` *input* (the CBOW description matrix), so
+  the TPU-native move is a placement again: shard ``desc`` dim 0 over
+  ``model`` and GSPMD keeps ``desc_proj``, the ``(B, D, hid)``
+  intermediate, and the per-class scores ``y (B, D)`` sharded — the
+  intermediate's HBM traffic divides by the model-axis size. The only
+  cross-class ops are the softmax normalizer and the confidence-weighted
+  mixing contraction ``y_scores @ desc``, which lower to one small
+  ``(B,)``/``(B, hid)``-sized psum/all-gather pair per turn (audited in
+  tests/test_hlo_collectives.py): collective bytes per turn are
+  ``B*(hid+D)*4`` ≈ 5 MB vs the ``(1 - 1/m)`` GB of intermediate traffic
+  saved. Ragged ``D % model != 0`` falls back to replicated like every
+  other placement here.
 
 Any dim not divisible by the model-axis size falls back to replicated for
 that leaf (mirroring ``mesh.axis_placer``'s ragged-tail rule), so every
@@ -73,6 +94,39 @@ def make_mesh_2d(n_data: int, n_model: int,
             f"{len(devices)} devices are available")
     grid = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(grid, (BATCH_AXIS, MODEL_AXIS))
+
+
+def class_axis_placer(mesh: Mesh):
+    """Placement for class-indexed description tensors (leading axis =
+    class): shard dim 0 over the model axis when it divides, replicate
+    otherwise (the ragged-tail rule). Covers ``desc (D, wv)`` and, under
+    word attention, ``desc_set_padded (D, L, wv)`` / ``desc_set_mask
+    (D, L)``.
+
+    This is the whole tensor-parallel story for the receiver prediction
+    head (see the module docstring): the head's per-class pipeline —
+    ``desc @ y1_desc_block``, the ``(B, D, hid)`` relu intermediate, the
+    ``y2`` reduction to ``y (B, D)`` (models/receiver.py) — is
+    embarrassingly parallel over D and rooted at this input, so GSPMD
+    derives the sharded head plus the per-turn softmax/mixing collectives
+    from this one placement. No parameter moves: checkpoints, the torch
+    interop mapping, and single-device numerics are untouched
+    (equality pinned in tests/test_tensor_parallel.py, collectives in
+    tests/test_hlo_collectives.py)."""
+    rep = NamedSharding(mesh, P())
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def place(x):
+        if x is None:
+            return x
+        from multimodalgame_tpu.parallel.mesh import _put
+        if np.ndim(x) == 0 or np.shape(x)[0] % n_model:
+            return _put(x, rep)
+        spec = [None] * np.ndim(x)
+        spec[0] = MODEL_AXIS
+        return _put(x, NamedSharding(mesh, P(*spec)))
+
+    return place
 
 
 def tp_param_specs(params, n_model: int):

@@ -166,6 +166,70 @@ def test_tp_step_has_row_parallel_psum_and_no_param_regather():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_tp_class_sharded_head_stays_sharded():
+    """Class-axis tensor parallelism of the receiver prediction head
+    (desc sharded dim 0 over the model axis, parallel/tensor.py): the
+    compiled per-device program must hold only its class shard —
+
+    * the ``(B, D, hid)`` relu intermediate (the big game's declared
+      bandwidth center) appears ONLY at its local class width; its
+      full-width form appearing anywhere means GSPMD silently
+      re-replicated the head and the sharding saves nothing;
+    * nothing all-gathers the full description matrix (sized here to be
+      the largest single tensor, so a root re-replication is
+      unambiguous in the byte audit);
+    * total collective bytes stay bounded by the grad all-reduce plus
+      the per-turn softmax/mixing collectives the placement predicts.
+    """
+    from multimodalgame_tpu.parallel.tensor import (class_axis_placer,
+                                                    init_tp_opt_states,
+                                                    make_mesh_2d,
+                                                    shard_params_tp)
+    # wv_dim=256 makes desc (10, 256) the largest tensor; D=10 over a
+    # 2-way model axis gives distinctive local shapes (D/2 = 5).
+    cfg = GameConfig(img_feat_dim=32, img_h_dim=16, sender_out_dim=8,
+                     rec_w_dim=8, rec_hidden=16, wv_dim=256,
+                     max_exchange=3, baseline_hid_dim=16,
+                     fixed_exchange=False, entropy_s=0.08,
+                     entropy_sen=0.01, entropy_rec=0.01)
+    mods = AgentModules(cfg)
+    params = init_params(mods, jax.random.PRNGKey(0), num_classes=10)
+    mesh = make_mesh_2d(4, 2)
+    pN = shard_params_tp(params, mesh)
+    oN = init_tp_opt_states(cfg, pN, mesh)
+
+    B = 16
+    rng = np.random.RandomState(0)
+    data = shard_batch(jnp.asarray(rng.randn(B, 32), jnp.float32), mesh)
+    target = shard_batch(jnp.asarray(rng.randint(0, 10, size=B)), mesh)
+    desc = class_axis_placer(mesh)(
+        jnp.asarray(rng.randn(10, 256), jnp.float32))
+    key = replicate(jax.random.PRNGKey(1), mesh)
+
+    step = make_sharded_train_step(mods, top_k=2, batch_denom=B, mesh=mesh)
+    text = step.lower(pN, oN, data, target, desc, key).compile().as_text()
+
+    # Local shapes: batch 16/4 = 4 per data shard, classes 10/2 = 5 per
+    # model shard, hid 16. The head intermediate exists only locally.
+    assert "f32[4,5,16]" in text, "class-local (B,D,hid) head missing"
+    assert "f32[4,10,16]" not in text, (
+        "full-width (B,D,hid) intermediate materialized — the head was "
+        "silently re-replicated")
+
+    ops = collective_ops(text)
+    desc_full = 10 * 256 * 4
+    gathers = [b for k, b in ops if k == "all-gather"]
+    assert all(b < desc_full for b in gathers), ops
+    # Volume bound: grad all-reduce (<= params once) + per-turn
+    # softmax/mixing/score collectives (O(B*(D+hid)) each) + scalar
+    # metric psums.
+    pbytes = _param_bytes(params)
+    turn_bytes = B * (10 + 16 + 256) * 4 * cfg.max_exchange * 4
+    total = sum(b for _, b in ops)
+    assert total <= 1.5 * pbytes + turn_bytes, (total, pbytes, ops)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
 def test_population_chunk_has_zero_collectives():
     """Members are independent: the population-sharded chunk must
     compile to NO collectives at all — any all-reduce/all-gather here

@@ -80,6 +80,82 @@ def test_tp_matches_single_device(shape, optim):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("shape,optim", [((2, 4), "RMSprop"),
+                                         ((4, 2), "Adam")])
+def test_tp_class_sharded_desc_matches_single_device(shape, optim):
+    """The receiver-prediction-head tensor parallelism (desc sharded on
+    the class axis over the model mesh axis, parallel/tensor.py
+    class_axis_placer) produces the single-device trajectory: the
+    softmax-normalizer and confidence-mixing collectives GSPMD inserts
+    change only reduction order. D=8 divides both model-axis sizes."""
+    from multimodalgame_tpu.parallel.tensor import class_axis_placer
+
+    cfg = GameConfig(img_feat_dim=32, img_h_dim=16, sender_out_dim=8,
+                     rec_w_dim=8, rec_hidden=16, wv_dim=12, max_exchange=3,
+                     baseline_hid_dim=16, fixed_exchange=False,
+                     entropy_s=0.08, entropy_sen=0.01, entropy_rec=0.01,
+                     optim_type=optim)
+    mods = AgentModules(cfg)
+    params = init_params(mods, jax.random.PRNGKey(0), num_classes=8)
+    rng = np.random.RandomState(0)
+    B = 16
+    data = jnp.asarray(rng.randn(B, 32), jnp.float32)
+    target = jnp.asarray(rng.randint(0, 8, size=B))
+    desc = jnp.asarray(rng.randn(8, 12), jnp.float32)
+    keys = [jax.random.PRNGKey(7), jax.random.PRNGKey(8)]
+
+    step1 = make_train_step(mods, top_k=2, batch_denom=B)
+    p1 = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    o1 = init_opt_states(cfg, p1)
+    for k in keys:
+        p1, o1, m1 = step1(p1, o1, data, target, desc, k)
+
+    mesh = make_mesh_2d(*shape)
+    n_model = mesh.shape[MODEL_AXIS]
+    pN = shard_params_tp(params, mesh)
+    oN = init_tp_opt_states(cfg, pN, mesh)
+    stepN = make_sharded_train_step(mods, top_k=2, batch_denom=B,
+                                    mesh=mesh)
+    descN = class_axis_placer(mesh)(desc)
+    assert descN.addressable_shards[0].data.shape == (8 // n_model, 12)
+    for k in keys:
+        pN, oN, mN = stepN(pN, oN, shard_batch(data, mesh),
+                           shard_batch(target, mesh), descN,
+                           replicate(k, mesh))
+
+    np.testing.assert_allclose(float(m1.loss_rec), float(mN.loss_rec),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(m1.accuracy), float(mN.accuracy))
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(p1),
+                            jax.tree_util.tree_leaves(pN)):
+        label = jax.tree_util.keystr(path)
+        if "y2']['bias" in label:
+            # Zero-gradient leaf: RMSprop's eps denominator turns pure
+            # reduction-order noise into a visible random walk (same
+            # exclusion as the mesh/multihost driver tests).
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=label)
+
+
+def test_class_axis_placer_ragged_falls_back():
+    """A class count the model axis doesn't divide replicates (the
+    reference's canonical D=30 game on a 4-way model axis), and None
+    passes through (no desc_attn tensors)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from multimodalgame_tpu.parallel.tensor import class_axis_placer
+
+    mesh = make_mesh_2d(2, 4)
+    place = class_axis_placer(mesh)
+    ragged = place(jnp.ones((30, 12)))   # 30 % 4 != 0
+    assert ragged.addressable_shards[0].data.shape == (30, 12)
+    sharded = place(jnp.ones((8, 3, 12)))  # padded word set rank-3
+    assert sharded.addressable_shards[0].data.shape == (2, 3, 12)
+    assert place(None) is None
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
 def test_params_actually_model_sharded():
     """The Megatron leaves are physically split over the model axis —
     at placement, in the optimizer accumulators, and (propagated by
