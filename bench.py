@@ -230,10 +230,18 @@ def measure_epoch_throughput(num_epochs: int = 60) -> dict:
     }
 
 
-def measure_population(n: int = 16, chunk_steps: int = 50,
-                       num_chunks: int = 10, batch: int = 64) -> dict:
+def measure_population(n: int = 16, chunk_steps: int = 512,
+                       num_chunks: int = 4, batch: int = 64) -> dict:
     """Vmapped seed-sweep throughput (parallel/population.py): N canonical
-    Adaptive games training simultaneously on one chip."""
+    Adaptive games training simultaneously on one chip.
+
+    Same low-dispatch protocol as the headline (512-step chunks — the
+    driver's own program size — 4 dispatches per window, params
+    continuing across windows): the original 10x50-step protocol paid
+    10 tunnel dispatches per fetch, which in high-dispatch-cost epochs
+    read up to ~3x low (13,832 vs 15,492 upd/s for the same binary —
+    PERFORMANCE.md measurement-variance notes). The repo rule: measure
+    the chip, not the link."""
     jax = _jax_with_cache()
     from multimodalgame_tpu.game.agents import AgentModules
     from multimodalgame_tpu.parallel.population import (
