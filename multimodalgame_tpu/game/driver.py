@@ -520,11 +520,18 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             limit = next_log - 1
             if max_steps is not None:
                 limit = min(limit, max_steps - 1)
+            # First dev/save boundary in [t, limit], closed-form (a
+            # linear scan here is O(interval) Python per chunk — at
+            # sparse cadences that dominated wall time outright).
             chunk_last = limit
-            for v in range(t, limit + 1):
-                if is_dev(v) or is_save(v):
-                    chunk_last = v
-                    break
+            nd = ((t + D - 1) // D) * D                    # is_dev
+            if nd <= limit:
+                chunk_last = nd
+            s0 = max(t, flags.save_after)                  # is_save
+            ns = ((s0 + flags.save_interval - 1)
+                  // flags.save_interval) * flags.save_interval
+            if ns <= limit:
+                chunk_last = min(chunk_last, ns)
             k = chunk_last - t + 1
             refill(k)
             k = min(k, plan_buf.shape[0])
