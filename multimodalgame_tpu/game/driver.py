@@ -45,7 +45,8 @@ import numpy as np
 
 from multimodalgame_tpu.data.device_dataset import DeviceDataset
 from multimodalgame_tpu.game.fast_eval import run_device_dev_eval
-from multimodalgame_tpu.parallel.distributed import host_view
+from multimodalgame_tpu.parallel.distributed import (host_view,
+                                                     host_view_many)
 from multimodalgame_tpu.game.logpack import LogPacker
 from multimodalgame_tpu.game.train import (make_multistep_train_step_indexed,
                                            make_train_step_indexed)
@@ -253,9 +254,16 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     done = False
 
     def flush_acc():
-        for a in pending_acc:
+        # One pipelined transfer for the whole backlog (~10 chunk
+        # accuracy arrays per canonical log window): serial host_view
+        # calls paid a full tunnel round trip EACH, which alone
+        # accounted for most of the cadence-on gap (PERFORMANCE.md
+        # round-5 cadence decomposition).
+        if not pending_acc:
+            return
+        for a in host_view_many(pending_acc):
             batch_accuracy.extend(
-                host_view(a).astype(np.float64).reshape(-1).tolist())
+                a.astype(np.float64).reshape(-1).tolist())
         pending_acc.clear()
 
     def queued_acc_count():

@@ -183,9 +183,11 @@ def run_device_dev_eval(flags, modules, params, desc_pack,
         row_placer=row_placer, sync=False)
 
     def finish():
-        from multimodalgame_tpu.parallel.distributed import host_view
+        # Pipelined: one round trip for all per-batch payloads instead
+        # of one each (parallel/distributed.py:host_view_many).
+        from multimodalgame_tpu.parallel.distributed import host_view_many
         dev_acc, extra, trues, preds = inner_finish(
-            [host_view(p) for p in payloads])
+            host_view_many(payloads))
         from sklearn.metrics import confusion_matrix
         np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
                    delimiter=",", fmt="%d")
@@ -270,5 +272,5 @@ def eval_dev_device(modules: AgentModules, params, dev_ds: DeviceDataset,
     payloads = [c[0] for c in calls]
     if not sync:
         return payloads, finish
-    from multimodalgame_tpu.parallel.distributed import host_view
-    return finish([host_view(p) for p in payloads])
+    from multimodalgame_tpu.parallel.distributed import host_view_many
+    return finish(host_view_many(payloads))

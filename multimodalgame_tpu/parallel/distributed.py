@@ -94,6 +94,37 @@ def host_view(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def host_view_many(xs) -> list:
+    """:func:`host_view` over a sequence, pipelined.
+
+    One blocking device->host read costs ~a full tunnel round trip
+    *regardless of size* (utils/device_pack.py), so N serial
+    ``host_view`` calls cost N round trips. This variant issues every
+    copy before materializing any (``jax.device_get`` starts
+    ``copy_to_host_async`` on all leaves first — the same trick as
+    checkpoint ``_to_host``), so N arrays cost ~one round trip. Arrays
+    that genuinely need a cross-process collective gather (sharded,
+    non-addressable, not locally coverable) fall back to per-array
+    :func:`host_view`, preserving its same-order-on-every-process
+    contract."""
+    import jax
+
+    prepared = []      # (slot, leaf-for-device_get) — pipelined path
+    out = [None] * len(xs)
+    for i, x in enumerate(xs):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.sharding.is_fully_replicated:
+                prepared.append((i, x.addressable_data(0)))
+            else:
+                out[i] = host_view(x)  # collective gather (rare path)
+        else:
+            prepared.append((i, x))
+    fetched = jax.device_get([leaf for _, leaf in prepared])
+    for (i, _), val in zip(prepared, fetched):
+        out[i] = np.asarray(val)
+    return out
+
+
 def reassemble_local(x) -> "np.ndarray | None":
     """Rebuild a cross-process array's full host value from this
     process's *addressable* shards alone — no communication.

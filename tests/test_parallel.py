@@ -154,3 +154,31 @@ def test_sharded_step_desc_attention(synthetic_dataset):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
             err_msg=label)
+
+
+def test_host_view_many_matches_host_view():
+    """The pipelined batch fetch must return exactly what per-array
+    host_view does, across plain numpy, single-device arrays, sharded
+    global arrays, and fully-replicated global arrays (order preserved,
+    including the empty call)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodalgame_tpu.parallel.distributed import (host_view,
+                                                         host_view_many)
+
+    mesh = make_mesh(8)
+    sharded = jax.device_put(
+        jnp.arange(16, dtype=jnp.float32),
+        NamedSharding(mesh, P("data")))
+    replicated = jax.device_put(jnp.arange(4, dtype=jnp.float32) * 3,
+                                NamedSharding(mesh, P()))
+    single = jnp.full((3,), 7.0)
+    plain = np.arange(5)
+
+    xs = [sharded, replicated, single, plain, sharded]
+    got = host_view_many(xs)
+    want = [host_view(x) for x in xs]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert host_view_many([]) == []
