@@ -44,7 +44,11 @@ sys.path.insert(0, _REPO)
 
 BATCH = 64
 STEPS_PER_EPOCH = 3000 // BATCH          # 46 (30 classes x 100)
-E1, E2 = 45, 223                         # 2,070 / 10,258 steps
+# The long/short spread must dwarf per-RUN wall variance, not just
+# cancel its mean: a first cut at 45/223 epochs (8k-step delta, ~1-2 s)
+# produced NEGATIVE marginal rates — tunnel stalls are +-2 s per run.
+# 2,295 epochs puts ~100k steps (~16-35 s) in the delta.
+E1, E2 = 45, 2295                        # 2,070 / 105,570 steps
 L, D, S = 1000, 2000, 2000               # the canonical product cadences
 
 VARIANTS = {
@@ -102,7 +106,7 @@ def run_once(paths: dict, variant: dict, max_epoch: int,
 
 
 def main() -> None:
-    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     root = tempfile.mkdtemp(prefix="mmg_cadence_")
     paths = build_data(root)
 

@@ -253,18 +253,24 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     state = {"steps_timed": 0}
     done = False
 
-    def flush_acc():
+    def flush_acc(extras=()):
         # One pipelined transfer for the whole backlog (~10 chunk
         # accuracy arrays per canonical log window): serial host_view
         # calls paid a full tunnel round trip EACH, which alone
         # accounted for most of the cadence-on gap (PERFORMANCE.md
-        # round-5 cadence decomposition).
-        if not pending_acc:
-            return
-        for a in host_view_many(pending_acc):
+        # round-5 cadence decomposition). Each flush site passes the
+        # device arrays its own event needs (log payload, dev payloads)
+        # as ``extras`` so the whole event costs ONE round trip, not
+        # two; their host copies are returned in order.
+        if not pending_acc and not extras:
+            return []
+        vals = host_view_many(list(pending_acc) + list(extras))
+        n = len(pending_acc)
+        for a in vals[:n]:
             batch_accuracy.extend(
                 a.astype(np.float64).reshape(-1).tolist())
         pending_acc.clear()
+        return vals[n:]
 
     def queued_acc_count():
         c = len(batch_accuracy)
@@ -298,11 +304,11 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         training end). Log lines appear in exactly the same order and
         with exactly the same content as immediate fetching."""
         payload, t, i_b, ep, tgt, acc_end = ev
-        # The fetches below are the sync: close the running train span
-        # only after they return, so timed spans cover real device work,
+        # The fetch below is the sync: close the running train span
+        # only after it returns, so timed spans cover real device work,
         # then reopen it.
-        flush_acc()
-        host = packer.unpack(host_view(payload))
+        (host_payload,) = flush_acc((payload,))
+        host = packer.unpack(host_payload)
         if state["steps_timed"]:
             timer.stop(steps=state["steps_timed"])
             state["steps_timed"] = 0
@@ -344,9 +350,8 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         best-checkpoint logic against the snapshot taken at the dev
         step."""
         nonlocal best_dev_acc
-        finish, t, i_batch, epoch, snapshot = ev
-        flush_acc()
-        dev_acc, extra = finish()
+        payloads, finish, t, i_batch, epoch, snapshot = ev
+        dev_acc, extra = finish(flush_acc(tuple(payloads)))
         if state["steps_timed"]:
             timer.stop(steps=state["steps_timed"])
             state["steps_timed"] = 0
@@ -370,14 +375,15 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         best-checkpoint decision."""
         nonlocal key
         key, sub = jax.random.split(key)
-        # finish() closes over the dispatched device payloads, keeping
-        # them alive until the deferred flush fetches them.
-        _, finish = run_device_dev_eval(
+        # The payloads ride in the event so the deferred flush can fold
+        # their fetch into the accuracy-backlog round trip.
+        payloads, finish = run_device_dev_eval(
             flags, modules, params, desc_dev, dev_ds, epoch, put_key(sub),
             row_placer=put_rows, sync=False)
         snapshot = (snap((params, opt_states))
                     if t >= flags.save_after else (None, None))
-        pending.append(("dev", (finish, t, i_batch, epoch, snapshot)))
+        pending.append(("dev", (payloads, finish, t, i_batch, epoch,
+                                snapshot)))
 
     def flush_save(ev):
         """Materialize a deferred periodic checkpoint. The device-side

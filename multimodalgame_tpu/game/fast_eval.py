@@ -182,12 +182,17 @@ def run_device_dev_eval(flags, modules, params, desc_pack,
         corrupt_mask=inputs["corrupt_mask"],
         row_placer=row_placer, sync=False)
 
-    def finish():
+    def finish(host_payloads=None):
         # Pipelined: one round trip for all per-batch payloads instead
-        # of one each (parallel/distributed.py:host_view_many).
-        from multimodalgame_tpu.parallel.distributed import host_view_many
-        dev_acc, extra, trues, preds = inner_finish(
-            host_view_many(payloads))
+        # of one each (parallel/distributed.py:host_view_many). A caller
+        # that already fetched the payloads inside its own batched round
+        # trip (the driver folds them into the accuracy-backlog fetch)
+        # passes the host copies in and no transfer happens here.
+        if host_payloads is None:
+            from multimodalgame_tpu.parallel.distributed import (
+                host_view_many)
+            host_payloads = host_view_many(payloads)
+        dev_acc, extra, trues, preds = inner_finish(host_payloads)
         from sklearn.metrics import confusion_matrix
         np.savetxt(flags.conf_mat, confusion_matrix(trues, preds),
                    delimiter=",", fmt="%d")
