@@ -172,7 +172,8 @@ def measure_epoch_throughput(num_epochs: int = 60) -> dict:
     opt_states = init_opt_states(cfg, params)
     chunk = make_multistep_train_step_indexed(modules, top_k=6,
                                               batch_denom=batch)
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(1)   # base key; per-step keys fold by
+    total_steps = 0               # global step inside the program
 
     def run_epochs(first: int, count: int):
         """Train ``count`` epochs with the product driver's cross-epoch
@@ -186,18 +187,18 @@ def measure_epoch_throughput(num_epochs: int = 60) -> dict:
         overlap pattern. 60-epoch windows (round-3 close): the end-of-
         window fetch costs a fixed ~1-2 tunnel RTTs, which at 20-epoch
         windows deflated the steady-state number by ~20%."""
-        nonlocal params, opt_states, key
+        nonlocal params, opt_states, total_steps
         state = {"acc": None, "steps": 0}
         buf = np.zeros((0, batch), np.int32)
 
         def dispatch(rows):
-            nonlocal params, opt_states, key
-            key, sub = jax.random.split(key)
+            nonlocal params, opt_states, total_steps
             params, opt_states, sm = chunk(
                 params, opt_states, ds.feats, ds.targets,
-                jnp.asarray(rows), desc, sub)
+                jnp.asarray(rows), desc, key, np.int32(total_steps))
             state["acc"] = sm.accuracy
             state["steps"] += rows.shape[0]
+            total_steps += rows.shape[0]
 
         for e in range(count):
             buf = np.concatenate(
@@ -205,9 +206,12 @@ def measure_epoch_throughput(num_epochs: int = 60) -> dict:
             while buf.shape[0] >= 512:
                 dispatch(buf[:512])
                 buf = buf[512:]
-        for size in decompose_chunks(buf.shape[0]):
-            dispatch(buf[:size])
-            buf = buf[size:]
+        if buf.shape[0]:
+            # Exact-length remainder, like the driver (one program per
+            # distinct window-tail length; keys are step-indexed so the
+            # partition cannot change the trajectory).
+            dispatch(buf)
+            buf = buf[:0]
         return state["steps"], state["acc"]
 
     # Warmup: compile every chunk size the measured runs will use.

@@ -11,8 +11,12 @@ driver removes every per-step host interaction:
   device-side gathers driven by a host-computed ``(K, B)`` index plan;
 * steps between host-visible boundaries (log/dev/checkpoint cadences,
   reference model.py:1341-1584) run as compiled K-step chunks
-  (game/train.py:make_multistep_train_step_indexed), K decomposed into
-  powers of two to bound the number of compilations;
+  (game/train.py:make_multistep_train_step_indexed): 512-step pieces
+  plus ONE exact-length remainder (bounded compilation cache,
+  make_piece_planner) — a canonical 999-step window is 2 dispatches.
+  Per-step PRNG keys derive inside the programs as fold_in(base, step)
+  by GLOBAL step, so the trajectory is invariant to the partition and
+  the hot loop does zero host-side key ops;
 * a boundary step runs with full metrics and everything its log window
   prints — losses, entropies, argmax, both sparkline conversation dumps —
   is packed into ONE flat vector on device (game/logpack.py) and fetched
@@ -62,6 +66,14 @@ from multimodalgame_tpu.utils.profiling import StepTimer
 # rejected" records the order-controlled measurements).
 _POW2 = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
 
+# Sub-512 chunk remainders dispatch as ONE exact-length program instead
+# of a power-of-two decomposition (999-step log windows cost 2 dispatches
+# — 512+487 — not 8). Safe since round 5: per-step keys are indexed by
+# GLOBAL step inside the program (game/train.py), so the partition cannot
+# change the trajectory. The cap bounds compilations for pathological
+# cadence patterns; beyond it, remainders fall back to _POW2 pieces.
+_EXACT_CAP = 16
+
 # The reference's torchvision Scale size for CIFAR images
 # (utils/package_data.py:171-178 / model.py:1195-1206).
 CIFAR_IMAGE_SIZE = 227
@@ -75,6 +87,30 @@ def decompose_chunks(k: int) -> list:
             out.append(p)
             k -= p
     return out
+
+
+def make_piece_planner(cap: int = _EXACT_CAP):
+    """Returns ``plan(k) -> [piece sizes]``: 512-step pieces plus one
+    exact-length remainder (a new remainder length is admitted while
+    fewer than ``cap`` distinct ones have been seen; after that,
+    remainders decompose into _POW2 pieces so compilations stay
+    bounded)."""
+    seen = set()
+
+    def plan(k: int) -> list:
+        pieces = []
+        while k >= 512:
+            pieces.append(512)
+            k -= 512
+        if k:
+            if k in seen or len(seen) < cap:
+                seen.add(k)
+                pieces.append(k)
+            else:
+                pieces.extend(decompose_chunks(k))
+        return pieces
+
+    return plan
 
 
 def resolve_mesh(flags, batch_fields=("batch_size", "batch_size_dev")):
@@ -243,7 +279,18 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     def is_save(t):
         return t >= flags.save_after and t % flags.save_interval == 0
 
-    key = jax.random.PRNGKey(flags.random_seed + 1)
+    # One base key for the whole run, placed once; every training step's
+    # key derives INSIDE the compiled programs as fold_in(base, step) —
+    # indexed by global step, so the trajectory is invariant to chunk
+    # partitioning, boundary/chunk splits, and resume, and the hot loop
+    # performs zero host-side key operations (each eager key op is a
+    # tunnel dispatch on this hardware). Boundary-only auxiliary streams
+    # (the eval-mode exchange dump, the dev sweep) fold tags 1 and 2
+    # onto the step key — distinct from every training stream by
+    # construction.
+    base_key = jax.random.PRNGKey(flags.random_seed + 1)
+    base_g = put_key(base_key)
+    plan_pieces = make_piece_planner()
     batch_accuracy = []   # host floats, one per optimizer step, in order
     pending_acc = []      # device accuracy arrays not yet fetched
     pending = []          # deferred host-visible events, in step order:
@@ -373,8 +420,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         donates them (already-enqueued executions keep their references);
         a device-side snapshot preserves the trees for the deferred
         best-checkpoint decision."""
-        nonlocal key
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(jax.random.fold_in(base_key, t), 2)
         # The payloads ride in the event so the deferred flush can fold
         # their fetch into the accuracy-backlog round trip.
         payloads, finish = run_device_dev_eval(
@@ -494,18 +540,18 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             flush_events()
             # Full-metrics boundary step; the payload fetch is deferred
             # so it overlaps the next window's compute.
-            key, sub = jax.random.split(key)
             row = put_rows(row_np)  # placed once, shared by both programs
             params, opt_states, m = full_step(
                 params, opt_states, train_ds.feats, train_ds.targets,
-                row, desc_j, put_key(sub),
+                row, desc_j, base_g, np.int32(t),
                 feats_context=train_ds.context,
                 desc_set_padded=padded_j, desc_set_mask=pmask_j)
             ex_eval = None
             if flags.exchange_samples > 0:
                 # Re-run eval-mode exchange on the same batch for the
                 # inferred-conversation dump (model.py:1463-1465).
-                key, sub2 = jax.random.split(key)
+                sub2 = jax.random.fold_in(
+                    jax.random.fold_in(base_key, t), 1)
                 data = jnp.take(train_ds.feats, row, axis=0)
                 if transform is not None:
                     data = transform(data)
@@ -553,12 +599,11 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             ev_epoch, ev_batch = int(eps[-1]), int(ibs[-1])
             enter_epochs(ev_epoch)
             off = 0
-            for size in decompose_chunks(k):
-                key, sub = jax.random.split(key)
+            for size in plan_pieces(k):
                 params, opt_states, sm = chunk_step(
                     params, opt_states, train_ds.feats,
                     train_ds.targets, put_rows(rows[off:off + size]),
-                    desc_j, put_key(sub),
+                    desc_j, base_g, np.int32(t + off),
                     feats_context=train_ds.context,
                     desc_set_padded=padded_j, desc_set_mask=pmask_j)
                 pending_acc.append(sm.accuracy)

@@ -418,8 +418,16 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
     transfer ever happens (the tunnel moves ~30 MB/s; the gather is free).
 
     Returns ``step(params, opt_states, feats, targets, idx, desc, key,
-    feats_context=None, desc_set_padded=None, desc_set_mask=None)
-    -> (params, opt_states, TrainMetrics)``.
+    step0=None, feats_context=None, desc_set_padded=None,
+    desc_set_mask=None) -> (params, opt_states, TrainMetrics)``.
+
+    With ``step0`` (a global step index), the step's PRNG key derives
+    inside the program as ``fold_in(key, step0)`` — the same per-step
+    formula as :func:`make_multistep_train_step_indexed`, so a boundary
+    step dispatched alone uses exactly the key a chunk covering that
+    step would, and the trajectory is invariant to how the driver
+    partitions steps into dispatches. ``step0=None`` keeps the caller's
+    key untouched (legacy/eval-style explicit key handling).
 
     ``transform`` (optional, static) maps the gathered batch before the
     game — e.g. the CIFAR path stages uint8 pixels and normalizes on
@@ -437,7 +445,10 @@ def make_train_step_indexed(modules: AgentModules, top_k: int,
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_states, feats, targets, idx, desc, key,
-             feats_context=None, desc_set_padded=None, desc_set_mask=None):
+             step0=None, feats_context=None, desc_set_padded=None,
+             desc_set_mask=None):
+        if step0 is not None:
+            key = jax.random.fold_in(key, step0)
         data = feats[idx]
         if transform is not None:
             data = transform(data)
@@ -464,15 +475,22 @@ def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
 
     Like :func:`make_multistep_train_step`, but each scan step gathers its
     batch from the staged ``(N, ...)`` feature array via a ``(K, B)`` index
-    plan, and the K per-step PRNG keys are derived on device from one key.
-    One host dispatch and zero H2D data traffic per K optimizer updates —
-    this is the CLI training driver's hot path (game/driver.py).
+    plan, and the K per-step PRNG keys are derived on device as
+    ``fold_in(key, step0 + i)`` — indexed by GLOBAL step, not by position
+    within the dispatch, so the sampled trajectory is invariant to how a
+    run is partitioned into chunks (512+487 == 999 == 1 boundary + 998),
+    a resumed run replays the exact per-step streams, and the driver
+    reuses ONE device-resident base key for every dispatch (zero
+    host-side key ops in the hot loop — each eager ``split`` is a tunnel
+    round trip on this hardware). One host dispatch and zero H2D data
+    traffic per K optimizer updates — this is the CLI training driver's
+    hot path (game/driver.py).
 
     Returns ``chunk(params, opt_states, feats, targets, idx (K, B), desc,
-    key, feats_context=None, desc_set_padded=None, desc_set_mask=None)
-    -> (params, opt_states, ScanMetrics)``. The jit specializes on the
-    chunk length K (the driver uses a fixed set of power-of-two sizes to
-    bound compilations).
+    key, step0=0, feats_context=None, desc_set_padded=None,
+    desc_set_mask=None) -> (params, opt_states, ScanMetrics)``. The jit
+    specializes on the chunk length K (the driver bounds the set of
+    distinct K values — see game/driver.py chunk planning).
     """
     cfg = modules.cfg
     tx = build_optimizer(cfg)
@@ -481,8 +499,11 @@ def make_multistep_train_step_indexed(modules: AgentModules, top_k: int,
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def chunk(params, opt_states, feats, targets, idx, desc, key,
-              feats_context=None, desc_set_padded=None, desc_set_mask=None):
-        keys = jax.random.split(key, idx.shape[0])
+              step0=0, feats_context=None, desc_set_padded=None,
+              desc_set_mask=None):
+        steps = (jnp.asarray(step0, jnp.int32)
+                 + jnp.arange(idx.shape[0], dtype=jnp.int32))
+        keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(steps)
         if flat:
             flat_p, flat_s, rebuild, unflatten = _flat_carry(
                 params, opt_states, update_names)

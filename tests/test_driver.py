@@ -103,9 +103,11 @@ def test_chunked_trainer_matches_single_steps(small_game):
     p1 = jax.tree_util.tree_map(jnp.copy, params0)
     o1 = init_opt_states(cfg, p1)
     accs = []
-    for i, sub in enumerate(jax.random.split(key, idx.shape[0])):
+    for i in range(idx.shape[0]):
+        # step0=i: the single step folds the same per-global-step key
+        # the chunk derives internally (fold_in(key, step0 + i)).
         p1, o1, m = single(p1, o1, ds.feats, ds.targets,
-                           jnp.asarray(idx[i]), desc_j, sub)
+                           jnp.asarray(idx[i]), desc_j, key, np.int32(i))
         accs.append(float(m.accuracy))
 
     p2 = jax.tree_util.tree_map(jnp.copy, params0)
@@ -118,6 +120,56 @@ def test_chunked_trainer_matches_single_steps(small_game):
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_chunk_partition_invariance(small_game):
+    """The trajectory is invariant to how steps are partitioned into
+    dispatches: per-step keys are indexed by GLOBAL step inside the
+    program (fold_in(key, step0+i)), so 5 == 2 + 3 — the property that
+    makes the driver's exact-length remainder chunks and any future
+    re-chunking pure performance knobs."""
+    mods, params0, ds, desc = small_game
+    cfg = mods.cfg
+    desc_j = jnp.asarray(desc.desc)
+    idx = ds.epoch_indices(0, True, 8)[:5]
+    key = jax.random.PRNGKey(3)
+    chunk = make_multistep_train_step_indexed(mods, top_k=2, batch_denom=8,
+                                              flat=False)
+
+    p1 = jax.tree_util.tree_map(jnp.copy, params0)
+    o1 = init_opt_states(cfg, p1)
+    p1, o1, sm1 = chunk(p1, o1, ds.feats, ds.targets, jnp.asarray(idx),
+                        desc_j, key)
+
+    p2 = jax.tree_util.tree_map(jnp.copy, params0)
+    o2 = init_opt_states(cfg, p2)
+    p2, o2, sa = chunk(p2, o2, ds.feats, ds.targets, jnp.asarray(idx[:2]),
+                       desc_j, key, np.int32(0))
+    p2, o2, sb = chunk(p2, o2, ds.feats, ds.targets, jnp.asarray(idx[2:]),
+                       desc_j, key, np.int32(2))
+
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(sa.accuracy), np.asarray(sb.accuracy)]),
+        np.asarray(sm1.accuracy), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_piece_planner_exact_remainders():
+    """512-step pieces + one exact remainder, with the compile-bounding
+    cap falling back to the power-of-two decomposition."""
+    from multimodalgame_tpu.game.driver import make_piece_planner
+
+    plan = make_piece_planner(cap=2)
+    assert plan(999) == [512, 487]
+    assert plan(512) == [512]
+    assert plan(1024) == [512, 512]
+    assert plan(3) == [3]
+    assert plan(999) == [512, 487]          # cached remainder reused
+    assert plan(517) == [512, 4, 1]         # cap hit: pow2 fallback
+    assert plan(0) == []
 
 
 @pytest.mark.parametrize("optim", ["RMSprop", "Adam", "SGD"])
