@@ -24,8 +24,11 @@ cost drifts by hours-long epochs) decorrelates from the variant axis;
 the summary reports per-variant medians and the derived per-event
 milliseconds.
 
-Run: python benchmarks/cadence_decomposition.py [trials]
-Prints one JSON line.
+Run: python benchmarks/cadence_decomposition.py [trials] [long_epochs]
+Prints one JSON line. ``long_epochs`` scales the long run (default
+E2 = 2295); raise it when the off-variant delta shrinks below ~15 s —
+at 12k+ steps/s the default's ~8 s delta sits inside the tunnel's
+±2 s per-run stall noise and single trials can go negative.
 """
 
 from __future__ import annotations
@@ -106,14 +109,21 @@ def run_once(paths: dict, variant: dict, max_epoch: int,
 
 
 def main() -> None:
+    global E2
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    if len(sys.argv) > 2:
+        E2 = int(sys.argv[2])
     root = tempfile.mkdtemp(prefix="mmg_cadence_")
     paths = build_data(root)
 
     # Warmup: compile every program each variant uses (chunk sizes,
-    # boundary step, eval exchange, dev sweep, snapshot).
+    # boundary step, eval exchange, dev sweep, snapshot). E1 epochs, not
+    # fewer: the driver's exact-remainder planner only admits a window
+    # remainder length once it RECURS (game/driver.py), so a warmup with
+    # a single log window would leave the exact-487 program uncompiled
+    # and the first measured run would pay it mid-measurement.
     for name, variant in VARIANTS.items():
-        run_once(paths, variant, 23, os.path.join(root, f"warm_{name}"))
+        run_once(paths, variant, E1, os.path.join(root, f"warm_{name}"))
 
     rates = {name: [] for name in VARIANTS}
     for trial in range(trials):

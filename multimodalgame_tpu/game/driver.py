@@ -50,7 +50,8 @@ import numpy as np
 from multimodalgame_tpu.data.device_dataset import DeviceDataset
 from multimodalgame_tpu.game.fast_eval import run_device_dev_eval
 from multimodalgame_tpu.parallel.distributed import (host_view,
-                                                     host_view_many)
+                                                     host_view_many,
+                                                     prefetch_host_async)
 from multimodalgame_tpu.game.logpack import LogPacker
 from multimodalgame_tpu.game.train import (make_multistep_train_step_indexed,
                                            make_train_step_indexed)
@@ -66,12 +67,20 @@ from multimodalgame_tpu.utils.profiling import StepTimer
 # rejected" records the order-controlled measurements).
 _POW2 = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
 
-# Sub-512 chunk remainders dispatch as ONE exact-length program instead
-# of a power-of-two decomposition (999-step log windows cost 2 dispatches
-# — 512+487 — not 8). Safe since round 5: per-step keys are indexed by
-# GLOBAL step inside the program (game/train.py), so the partition cannot
-# change the trajectory. The cap bounds compilations for pathological
-# cadence patterns; beyond it, remainders fall back to _POW2 pieces.
+# RECURRING sub-512 chunk remainders dispatch as ONE exact-length
+# program instead of a power-of-two decomposition (999-step log windows
+# cost 2 dispatches — 512+487 — not 8). Safe since round 5: per-step
+# keys are indexed by GLOBAL step inside the program (game/train.py),
+# so the partition cannot change the trajectory — the planner is a pure
+# performance knob. A length's FIRST occurrence still decomposes into
+# _POW2 pieces: a fresh TPU compile is ~40-90 s through the tunnel,
+# orders of magnitude above the handful of dispatches an exact program
+# saves, so one-off tails (end of training, odd max_steps) must never
+# trigger one; cadence-window remainders recur hundreds of times and
+# amortize theirs from the second window on. (The first cut admitted
+# first-seen lengths and every arbitrary-horizon run paid a surprise
+# mid-run compile — caught by the round-5 cadence decomposition.) The
+# cap bounds distinct compiled lengths for pathological cadences.
 _EXACT_CAP = 16
 
 # The reference's torchvision Scale size for CIFAR images
@@ -91,11 +100,15 @@ def decompose_chunks(k: int) -> list:
 
 def make_piece_planner(cap: int = _EXACT_CAP):
     """Returns ``plan(k) -> [piece sizes]``: 512-step pieces plus one
-    exact-length remainder (a new remainder length is admitted while
-    fewer than ``cap`` distinct ones have been seen; after that,
-    remainders decompose into _POW2 pieces so compilations stay
-    bounded)."""
+    exact-length remainder for remainder lengths that RECUR. A length's
+    first occurrence decomposes into _POW2 pieces (already compiled —
+    never pay a fresh compile for a one-off tail); from its second
+    occurrence it dispatches as one exact-length program, amortizing
+    one compile over the hundreds of identical cadence windows a real
+    run produces. At most ``cap`` distinct exact lengths are admitted;
+    beyond that, remainders stay _POW2."""
     seen = set()
+    admitted = set()
 
     def plan(k: int) -> list:
         pieces = []
@@ -103,10 +116,11 @@ def make_piece_planner(cap: int = _EXACT_CAP):
             pieces.append(512)
             k -= 512
         if k:
-            if k in seen or len(seen) < cap:
-                seen.add(k)
+            if k in admitted or (k in seen and len(admitted) < cap):
+                admitted.add(k)
                 pieces.append(k)
             else:
+                seen.add(k)
                 pieces.extend(decompose_chunks(k))
         return pieces
 
@@ -291,6 +305,20 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
     base_key = jax.random.PRNGKey(flags.random_seed + 1)
     base_g = put_key(base_key)
     plan_pieces = make_piece_planner()
+    # Boundary-only auxiliary streams (eval-mode exchange dump tag 1,
+    # dev sweep tag 2) derive fold_in(fold_in(base, step), tag) in ONE
+    # jitted call — two eager fold_ins were two tunnel dispatches per
+    # cadence event. The result is device-resident (and, multi-process,
+    # replicated-global like base_g), so no put_key either.
+    derive_key = jax.jit(lambda base, t, tag: jax.random.fold_in(
+        jax.random.fold_in(base, t), tag))
+    # Enqueue-time device->host prefetch of deferred-event payloads
+    # (A/B knob: MMG_NO_PREFETCH=1 restores fetch-at-flush — see
+    # PERFORMANCE.md round-5 cadence decomposition). Read per run so
+    # one measurement process can interleave both arms.
+    prefetch = (prefetch_host_async
+                if os.environ.get("MMG_NO_PREFETCH") != "1"
+                else (lambda xs: None))
     batch_accuracy = []   # host floats, one per optimizer step, in order
     pending_acc = []      # device accuracy arrays not yet fetched
     pending = []          # deferred host-visible events, in step order:
@@ -420,16 +448,20 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
         donates them (already-enqueued executions keep their references);
         a device-side snapshot preserves the trees for the deferred
         best-checkpoint decision."""
-        sub = jax.random.fold_in(jax.random.fold_in(base_key, t), 2)
+        sub = derive_key(base_g, np.int32(t), np.int32(2))
         # The payloads ride in the event so the deferred flush can fold
         # their fetch into the accuracy-backlog round trip.
         payloads, finish = run_device_dev_eval(
-            flags, modules, params, desc_dev, dev_ds, epoch, put_key(sub),
+            flags, modules, params, desc_dev, dev_ds, epoch, sub,
             row_placer=put_rows, sync=False)
         snapshot = (snap((params, opt_states))
                     if t >= flags.save_after else (None, None))
         pending.append(("dev", (payloads, finish, t, i_batch, epoch,
                                 snapshot)))
+        # Payloads only — the snapshot is fetched just when this dev
+        # eval turns out best; prefetching it every time would spend
+        # tunnel bandwidth on mostly-discarded state.
+        prefetch(payloads)
 
     def flush_save(ev):
         """Materialize a deferred periodic checkpoint. The device-side
@@ -550,8 +582,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             if flags.exchange_samples > 0:
                 # Re-run eval-mode exchange on the same batch for the
                 # inferred-conversation dump (model.py:1463-1465).
-                sub2 = jax.random.fold_in(
-                    jax.random.fold_in(base_key, t), 1)
+                sub2 = derive_key(base_g, np.int32(t), np.int32(1))
                 data = jnp.take(train_ds.feats, row, axis=0)
                 if transform is not None:
                     data = transform(data)
@@ -562,7 +593,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                 elif context_fn is not None:
                     kwargs["data_context"] = context_fn(data)
                 ex_eval = eval_exchange(params, data, desc_j,
-                                        put_key(sub2),
+                                        sub2,
                                         desc_set_padded=padded_j,
                                         desc_set_mask=pmask_j, **kwargs)
             payload = packer.pack(m, ex_eval)
@@ -570,6 +601,10 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             pending.append(("log", (payload, t, ev_batch, ev_epoch,
                                     train_ds.targets_host[row_np],
                                     queued_acc_count())))
+            # The transfers ride under the next window's compute; the
+            # deferred flush then materializes resolved futures instead
+            # of paying a round trip.
+            prefetch([payload, m.accuracy])
             state["steps_timed"] += 1
             did = 1
         else:
@@ -607,6 +642,7 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
                     feats_context=train_ds.context,
                     desc_set_padded=padded_j, desc_set_mask=pmask_j)
                 pending_acc.append(sm.accuracy)
+                prefetch([sm.accuracy])
                 off += size
             state["steps_timed"] += k
             did = k
@@ -624,7 +660,13 @@ def run_fast(flags, modules, params, opt_states, desc_train, desc_dev,
             # write to the next host-visible event, where it overlaps
             # the training dispatched in between. MMG_SYNC_SAVE=1
             # restores the synchronous write (measurement/debug knob).
-            pending.append(("save", (t_done, snap((params, opt_states)))))
+            save_snapshot = snap((params, opt_states))
+            # This snapshot WILL be written — start its device->host
+            # transfer now so save_checkpoint's fetch at the flush point
+            # finds resolved futures.
+            prefetch_host_async(
+                jax.tree_util.tree_leaves(save_snapshot))
+            pending.append(("save", (t_done, save_snapshot)))
             if (os.environ.get("MMG_SYNC_SAVE") == "1"
                     or sum(1 for k, _ in pending if k == "save") > 8):
                 # The cap bounds snapshot HBM when no log/dev event ever

@@ -94,6 +94,28 @@ def host_view(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def prefetch_host_async(xs) -> None:
+    """Start device->host copies NOW for arrays a later
+    :func:`host_view_many` / ``jax.device_get`` will materialize.
+
+    ``copy_to_host_async`` caches its in-flight future on the array, so
+    issuing it at event-ENQUEUE time (the moment a deferred log payload,
+    dev payload, accuracy backlog entry, or checkpoint snapshot is
+    created) lets the transfer ride under the next window's compute and
+    dispatch; by flush time the future has usually resolved and the
+    materializing call pays ~zero tunnel wait instead of a round trip
+    plus transfer per flush (PERFORMANCE.md round-5 cadence
+    decomposition). Non-fully-addressable arrays are skipped: their
+    flush path is either a collective gather (must stay at flush, every
+    process in the same order) or reads ``addressable_data(0)``, whose
+    fresh wrapper object would not see a future cached here."""
+    import jax
+
+    for x in xs:
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            x.copy_to_host_async()
+
+
 def host_view_many(xs) -> list:
     """:func:`host_view` over a sequence, pipelined.
 

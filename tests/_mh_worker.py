@@ -1,20 +1,25 @@
-"""Two-phase multi-process worker: ``run()`` twice in ONE process —
-phase A trains ``epochs_a`` epochs (writing a periodic checkpoint),
-phase B re-parses the same argv with ``epochs_b`` and auto-resumes.
+"""Multi-job multi-process worker: ``run()`` N times in ONE process.
 
-Launched by tests/test_multihost_driver.py::test_multihost_orbax_resume
-so the save+resume protocol costs one subprocess pair per mesh variant
-instead of two (the jit compiles amortize across phases — VERDICT
-round-4 #6). Safe because ``run()`` is re-entrant: it guards
-``jax.distributed.initialize`` behind ``is_initialized()`` and commits
-any in-flight async orbax save (``wait_for_checkpoints``) before
-returning, so phase B's ``exists()`` resume gate sees phase A's
-checkpoint at its final path.
+Reads a JSON file holding a list of argv lists and executes them in
+order (``make_flags``/``parse_args``/``finalize_flags``/``run`` per
+job). Launched by tests/test_multihost_driver.py so the ENTIRE
+multi-host surface — the dp and tp 12-step product runs plus the orbax
+save/resume protocol's two phases for each mesh — costs ONE subprocess
+pair instead of four (VERDICT round-4 #6): process spawn, jax import,
+gloo-coordinator init, and the jit compiles all amortize across jobs.
 
-Usage: python tests/_mh_worker.py EPOCHS_A EPOCHS_B ARGV...
-(ARGV must contain ``-max_epoch``; it is overwritten per phase.)
+Safe because ``run()`` is re-entrant: it guards
+``jax.distributed.initialize`` behind ``is_initialized()`` (every job
+must therefore pass identical -coordinator/-num_processes/-process_id),
+and commits any in-flight async orbax save (``wait_for_checkpoints``)
+before returning, so a resume phase's ``exists()`` gate sees the prior
+phase's checkpoint at its final path. Jobs print stage markers to
+stderr so a hang or failure is attributable to its job.
+
+Usage: python tests/_mh_worker.py JOBS_FILE.json
 """
 
+import json
 import sys
 
 
@@ -23,15 +28,16 @@ def main() -> None:
                                            parse_args)
     from multimodalgame_tpu.train import run
 
-    epochs = sys.argv[1], sys.argv[2]
-    argv = list(sys.argv[3:])
-    for n in epochs:
-        phase_argv = list(argv)
-        phase_argv[phase_argv.index("-max_epoch") + 1] = n
+    jobs = json.load(open(sys.argv[1]))
+    for n, argv in enumerate(jobs):
+        print(f"[_mh_worker] job {n}/{len(jobs)}: {argv[:2]} ...",
+              file=sys.stderr, flush=True)
         flags = make_flags()
-        parse_args(flags, phase_argv)
-        finalize_flags(flags, phase_argv)
+        parse_args(flags, argv)
+        finalize_flags(flags, argv)
         run(flags)
+    print(f"[_mh_worker] all {len(jobs)} jobs done", file=sys.stderr,
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -158,17 +158,23 @@ def test_chunk_partition_invariance(small_game):
 
 
 def test_piece_planner_exact_remainders():
-    """512-step pieces + one exact remainder, with the compile-bounding
-    cap falling back to the power-of-two decomposition."""
+    """512-step pieces + one exact remainder for RECURRING remainder
+    lengths only: a first-seen length decomposes into power-of-two
+    pieces (no fresh compile for one-off tails), its second occurrence
+    dispatches exact, and the compile-bounding cap falls back to the
+    power-of-two decomposition."""
     from multimodalgame_tpu.game.driver import make_piece_planner
 
     plan = make_piece_planner(cap=2)
+    assert plan(999) == [512, 256, 128, 64, 32, 4, 2, 1]  # first: pow2
+    assert plan(999) == [512, 487]          # recurs: exact program
     assert plan(999) == [512, 487]
     assert plan(512) == [512]
     assert plan(1024) == [512, 512]
-    assert plan(3) == [3]
-    assert plan(999) == [512, 487]          # cached remainder reused
-    assert plan(517) == [512, 4, 1]         # cap hit: pow2 fallback
+    assert plan(3) == [2, 1]                # one-off tail: never compiles
+    assert plan(3) == [3]                   # ...until it recurs
+    assert plan(517) == [512, 4, 1]         # first occurrence
+    assert plan(517) == [512, 4, 1]         # cap (2 admitted): pow2 stays
     assert plan(0) == []
 
 

@@ -3,7 +3,12 @@ training driver running across 2 CPU processes (4 virtual devices each —
 an 8-device global mesh over gloo collectives) must reproduce the
 single-process ``-mesh 8`` run: same final checkpoint parameters, same
 log artifacts, through several log/dev/save windows including the
-deferred-payload, dev-sweep, and device-snapshot checkpoint paths."""
+deferred-payload, dev-sweep, and device-snapshot checkpoint paths.
+
+All 2-process work rides ONE consolidated launch (``multihost_jobs``,
+six jobs per worker — VERDICT round-4 #6): this module used to dominate
+the full suite's tail with four sequential launches at up to 900 s
+each."""
 
 import json
 import os
@@ -66,26 +71,73 @@ def _base_argv(paths, log_path):
 _EXTRA = {"dp": [], "tp": ["-mesh_model", "2"]}
 
 
-@pytest.fixture(scope="module", params=sorted(_EXTRA))
-def multihost_run(request, synthetic_dataset, tmp_path_factory):
-    root = tmp_path_factory.mktemp("mh_" + request.param)
-    log_path = str(root / "mh2")
-    os.makedirs(log_path, exist_ok=True)
+def _set(argv, flag, value):
+    argv = list(argv)
+    argv[argv.index(flag) + 1] = str(value)
+    return argv
+
+
+@pytest.fixture(scope="module")
+def multihost_jobs(synthetic_dataset, tmp_path_factory):
+    """ONE 2-process launch running the entire multi-host surface
+    in-process per worker (VERDICT round-4 #6 — this module used to cost
+    four sequential 2-process launches): the dp and tp 12-step product
+    runs, then the orbax save/resume protocol's two phases for each
+    mesh. Jobs execute in the same deterministic order in both
+    processes (collectives stay in lockstep); process spawn, jax
+    import, gloo init and dataset staging amortize across all six.
+
+    Returns ``{"main": {flavor: log_path},
+               "orbax": {flavor: (log_path, p1_ckpt)}}``.
+    """
+    root = tmp_path_factory.mktemp("mh_all")
     port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "multimodalgame_tpu"]
-            + _base_argv(synthetic_dataset, log_path)
-            + _EXTRA[request.param]
-            + ["-coordinator", f"127.0.0.1:{port}",
-               "-num_processes", "2", "-process_id", str(i)],
+    proc_flags = [["-coordinator", f"127.0.0.1:{port}",
+                   "-num_processes", "2", "-process_id", str(i)]
+                  for i in range(2)]
+    jobs = {0: [], 1: []}
+    paths = {"main": {}, "orbax": {}}
+    for flavor in sorted(_EXTRA):
+        log_path = str(root / ("main_" + flavor))
+        os.makedirs(log_path, exist_ok=True)
+        paths["main"][flavor] = log_path
+        for i in range(2):
+            jobs[i].append(_base_argv(synthetic_dataset, log_path)
+                           + _EXTRA[flavor] + proc_flags[i])
+    for flavor in sorted(_EXTRA):
+        log_path = str(root / ("orbax_" + flavor))
+        os.makedirs(log_path, exist_ok=True)
+        # Process 1's checkpoint path deliberately does NOT exist (real
+        # hosts have separate filesystems): the resume verdict and state
+        # must be process 0's, broadcast.
+        p1_ckpt = str(root / ("p1_fs_" + flavor) / "ckpt")
+        os.makedirs(os.path.dirname(p1_ckpt), exist_ok=True)
+        paths["orbax"][flavor] = (log_path, p1_ckpt)
+        for i in range(2):
+            base = (_set(_base_argv(synthetic_dataset, log_path),
+                         "-save_interval", 5)
+                    + ["-ckpt_format", "orbax"] + _EXTRA[flavor]
+                    + proc_flags[i])
+            if i == 1:
+                base = base + ["-checkpoint", p1_ckpt]
+            # Phase A: 1 epoch, periodic orbax save at t=5. Phase B:
+            # auto-resume at 5, replay max_epoch=2 full epochs to t=17.
+            jobs[i].append(_set(base, "-max_epoch", 1))
+            jobs[i].append(_set(base, "-max_epoch", 2))
+    worker = os.path.join(_REPO, "tests", "_mh_worker.py")
+    procs = []
+    for i in range(2):
+        jobs_file = str(root / f"jobs_{i}.json")
+        with open(jobs_file, "w") as f:
+            json.dump(jobs[i], f)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, jobs_file],
             env=_worker_env(4), cwd=_REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-        for i in range(2)]
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     errs = []
     try:
         for p in procs:
-            _, stderr = p.communicate(timeout=900)
+            _, stderr = p.communicate(timeout=1800)
             errs.append(stderr)
     finally:
         for p in procs:
@@ -94,7 +146,7 @@ def multihost_run(request, synthetic_dataset, tmp_path_factory):
                 p.wait()
     for p, stderr in zip(procs, errs):
         assert p.returncode == 0, f"worker failed:\n{stderr[-4000:]}"
-    return log_path, _EXTRA[request.param]
+    return paths
 
 
 def _log_body(path):
@@ -119,8 +171,9 @@ def _log_body(path):
     return [(k, v) for _, k, v in rows[start:]]
 
 
-def test_multihost_matches_single_process(multihost_run, synthetic_dataset,
-                                          tmp_path):
+@pytest.mark.parametrize("flavor", sorted(_EXTRA))
+def test_multihost_matches_single_process(multihost_jobs, synthetic_dataset,
+                                          tmp_path, flavor):
     """Final checkpoint parameters and the full log-artifact stream of
     the 2-process run match a single-process run of the same config and
     mesh shape (up to cross-process psum reassociation) — for both the
@@ -138,7 +191,8 @@ def test_multihost_matches_single_process(multihost_run, synthetic_dataset,
     from multimodalgame_tpu.train import run
     from multimodalgame_tpu.utils.checkpoint import load_checkpoint
 
-    mh_log_path, extra = multihost_run
+    mh_log_path = multihost_jobs["main"][flavor]
+    extra = _EXTRA[flavor]
 
     # Single-process reference with the same flags (own artifact dir).
     argv = _base_argv(synthetic_dataset, str(tmp_path / "one")) + extra
@@ -212,16 +266,11 @@ def test_multihost_flag_validation(synthetic_dataset, tmp_path):
     with pytest.raises(ValueError, match="coordinator"):
         run(flags_for(["-num_processes", "2"]))
     # (-mesh_model + -num_processes is a SUPPORTED combination since
-    # round 4 — exercised end-to-end by the "tp" multihost_run flavor.)
+    # round 4 — exercised end-to-end by the "tp" multihost_jobs flavor.)
 
 
-def _set(argv, flag, value):
-    argv = list(argv)
-    argv[argv.index(flag) + 1] = str(value)
-    return argv
-
-
-def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
+def test_multihost_orbax_resume(multihost_jobs, synthetic_dataset,
+                                tmp_path):
     """Orbax checkpoints + auto-resume under multi-process, for both the
     data-parallel and the 2-D tensor-parallel mesh:
 
@@ -246,8 +295,9 @@ def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
     epochs (t=5..16), finishing at step 17 with periodic saves at 5,
     10 and 15 — NOT a global-schedule resume that would stop at 12.
 
-    Each mesh variant costs ONE 2-process launch: the workers run both
-    phases in-process (tests/_mh_worker.py), sharing jit compiles.
+    The 2-process phases ride the module's single consolidated launch
+    (``multihost_jobs``); this test only verifies their artifacts
+    against an in-process single-process reference.
     """
     pytest.importorskip("orbax.checkpoint")
     import jax
@@ -262,34 +312,6 @@ def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
     from multimodalgame_tpu.utils.checkpoint import load_checkpoint
 
     orbax = ["-ckpt_format", "orbax"]
-    worker = os.path.join(_REPO, "tests", "_mh_worker.py")
-
-    def launch(log_path, extra, p1_ckpt):
-        port = _free_port()
-        procs = []
-        for i in range(2):
-            argv = _set(_base_argv(synthetic_dataset, log_path),
-                        "-save_interval", 5) + orbax + extra
-            argv += ["-coordinator", f"127.0.0.1:{port}",
-                     "-num_processes", "2", "-process_id", str(i)]
-            if i == 1:
-                argv += ["-checkpoint", p1_ckpt]
-            procs.append(subprocess.Popen(
-                [sys.executable, worker, "1", "2"] + argv,
-                env=_worker_env(4), cwd=_REPO,
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-        errs = []
-        try:
-            for p in procs:
-                _, stderr = p.communicate(timeout=900)
-                errs.append(stderr)
-        finally:
-            for p in procs:
-                if p.poll() is None:
-                    p.kill()
-                    p.wait()
-        for p, stderr in zip(procs, errs):
-            assert p.returncode == 0, f"worker failed:\n{stderr[-4000:]}"
 
     # Single-process reference (computed once; DP and TP agree within
     # the cross-mesh tolerance): save at t=5 of a 1-epoch run, resume,
@@ -321,12 +343,8 @@ def test_multihost_orbax_resume(synthetic_dataset, tmp_path):
                                          template_o)
     assert data_one["step"] == 15
 
-    for variant, extra in (("dp", []), ("tp", ["-mesh_model", "2"])):
-        root = str(tmp_path / ("mh_" + variant))
-        os.makedirs(root, exist_ok=True)
-        p1_ckpt = str(tmp_path / ("p1_fs_" + variant) / "ckpt")
-        os.makedirs(os.path.dirname(p1_ckpt), exist_ok=True)
-        launch(root, extra, p1_ckpt)  # phase A save at t=5, phase B resume
+    for variant, extra in sorted(_EXTRA.items()):
+        root, p1_ckpt = multihost_jobs["orbax"][variant]
         f_mh = make_flags()
         argv_mh = _set(_set(_base_argv(synthetic_dataset, root),
                             "-max_epoch", 2), "-save_interval", 5) + orbax
